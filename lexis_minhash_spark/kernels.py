@@ -1,0 +1,426 @@
+"""Pure-NumPy compute kernels (no Spark imports) — unit-testable standalone.
+
+These re-express the reference's per-shingle scalar loops
+(kritoke/lexis-minhash, Crystal) as batched NumPy array programs.  All uint64
+arithmetic wraps mod 2**64 exactly like Crystal's ``&*``/``&+`` operators
+(NumPy C-semantics overflow, warnings suppressed).
+
+Parity citations (semantics only — the vectorized formulation is new):
+- rolling k-shingle polynomial hash: engine/rolling.cr:44-62 (P=31, mod 2^64)
+- multiply-shift MinHash min-reduce: engine/signature.cr:7-30
+- weighted MinHash update: engine.cr:170-186, 203-256
+- LSH band fold: engine.cr:426-456 (``combined = (combined << 7) ^ value``)
+- little-endian signature blobs: engine/serialize.cr:5-41
+- zero-signature gates: engine/signature.cr:12-16
+- detection probability: engine.cr:460-464
+
+Batch layout convention: a batch of N documents is represented as
+``(hashes_concat: uint64[total], counts: int64[N])`` — the concatenation of
+each document's shingle-hash stream plus per-document counts.  This feeds a
+single blocked ``minimum.reduceat`` min-reduce instead of N Python loops.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+
+P = np.uint64(31)
+U32_MAX_F = 4294967295.0  # Float64.new(UInt32::MAX), engine.cr:181
+_U32_FULL = np.uint32(0xFFFFFFFF)
+_WS_RE = re.compile(r"\s+")
+
+# Max elements in one (shingles x signature_size) block during min-reduce;
+# bounds peak memory to ~BLOCK_ELEMS * 8 bytes for the uint64 intermediate.
+BLOCK_ELEMS = 8_000_000
+
+
+# ---------------------------------------------------------------------------
+# normalization + gates (engine/signature.cr:12-16)
+# ---------------------------------------------------------------------------
+
+def normalize_text(text: str) -> str:
+    """``text.downcase.strip`` (engine/signature.cr:12).
+
+    Python ``str.lower``/``str.strip`` use Unicode default casing/whitespace,
+    matching Crystal's for ASCII and the vast majority of Unicode; parity
+    fixtures are ASCII-only by design (FIXTURES.md §6).
+    """
+    return text.lower().strip()
+
+
+def passes_gates(normalized: str, min_words: int, shingle_size: int) -> bool:
+    """False → zero signature.  Mirrors engine/signature.cr:13-16:
+    empty / word-count < min_words / codepoint-length < shingle_size.
+    NOTE: the length gate counts *codepoints*; shingling iterates *bytes*.
+    """
+    if not normalized:
+        return False
+    if len(_WS_RE.split(normalized)) < min_words:
+        return False
+    if len(normalized) < shingle_size:
+        return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# shingle hashing (engine/rolling.cr:44-62)
+# ---------------------------------------------------------------------------
+
+def shingle_hashes_bytes(data: np.ndarray, k: int) -> np.ndarray:
+    """uint64 polynomial hashes of every k-byte window of ``data`` (uint8[n]).
+
+    h(w) = sum(w[j] * 31^(k-1-j)) mod 2^64 — identical values to the
+    reference's incremental rolling form (rolling.cr:44-62), computed as k
+    fused vector ops (Horner) instead of a per-byte loop.
+    """
+    n = int(data.shape[0]) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    d = data.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(k):
+            h = h * P + d[j : j + n]
+    return h
+
+
+def shingle_hashes_text(text: str, k: int) -> np.ndarray:
+    """Shingle hashes of a (already normalized) text's UTF-8 bytes."""
+    return shingle_hashes_bytes(
+        np.frombuffer(text.encode("utf-8"), dtype=np.uint8), k
+    )
+
+
+def shingle_hash_for(shingle: str) -> int:
+    """Polynomial hash of a whole key string (engine.cr:264-273):
+    window size = byte length, i.e. plain poly hash of all bytes."""
+    b = shingle.encode("utf-8")
+    h = shingle_hashes_bytes(np.frombuffer(b, dtype=np.uint8), len(b))
+    return int(h[0]) if h.size else 0
+
+
+def batch_shingle_hashes(
+    texts: list[str], k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized shingle hashing for a batch of normalized texts.
+
+    Concatenates all UTF-8 byte streams, hashes every window of the big
+    array once, then drops windows that straddle document boundaries.
+    Returns ``(hashes_concat: uint64[total], counts: int64[len(texts)])``.
+    """
+    n_docs = len(texts)
+    counts = np.zeros(n_docs, dtype=np.int64)
+    if n_docs == 0:
+        return np.empty(0, dtype=np.uint64), counts
+    chunks = []
+    lens = np.zeros(n_docs, dtype=np.int64)
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        lens[i] = len(b)
+        chunks.append(b)
+    big = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+    counts = np.maximum(lens - (k - 1), 0)
+    total_windows = int(big.shape[0]) - k + 1
+    if total_windows <= 0:
+        return np.empty(0, dtype=np.uint64), counts
+    h_all = shingle_hashes_bytes(big, k)
+    # keep windows fully inside one document
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    keep = np.zeros(h_all.shape[0], dtype=bool)
+    for i in range(n_docs):
+        if counts[i] > 0:
+            keep[starts[i] : starts[i] + counts[i]] = True
+    return h_all[keep], counts
+
+
+# ---------------------------------------------------------------------------
+# MinHash min-reduce (engine/signature.cr:7-30; weighted engine.cr:170-186)
+# ---------------------------------------------------------------------------
+
+def minhash_from_hashes(
+    h64: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Unweighted signature of one hash stream → uint32[signature_size].
+    ``((a[i]*h + b[i]) mod 2^64) >> 32`` min-reduced over shingles
+    (engine/signature.cr:22-27). Empty stream → all UInt32::MAX
+    (init value, engine/signature.cr:18)."""
+    s = a.shape[0]
+    if h64.size == 0:
+        return np.full(s, _U32_FULL, dtype=np.uint32)
+    with np.errstate(over="ignore"):
+        m = (h64[:, None] * a[None, :] + b[None, :]) >> np.uint64(32)
+    return m.min(axis=0).astype(np.uint32)
+
+
+def minhash_batch(
+    hashes_concat: np.ndarray,
+    counts: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    weights_concat: np.ndarray | None = None,
+) -> np.ndarray:
+    """Signatures for a whole batch → uint32[n_docs, signature_size].
+
+    One blocked ``(shingles × signature_size)`` multiply-shift followed by
+    ``np.minimum.reduceat`` at document boundaries — the vectorized
+    equivalent of the reference's nested per-shingle/per-hash loops.
+
+    ``weights_concat`` (float64, parallel to ``hashes_concat``) switches to
+    the weighted update (engine.cr:170-186): effective weight = max(w,0),
+    w<=0 shingles skipped, divisor = log1p(w) if w<1 else w, value =
+    fmod(h32/divisor, 4294967295.0) truncated to uint32.
+
+    Documents with zero shingles yield the UInt32::MAX-filled init vector —
+    callers apply the zero-signature gates *before* building the batch.
+    """
+    s = int(a.shape[0])
+    n_docs = int(counts.shape[0])
+    out = np.full((n_docs, s), _U32_FULL, dtype=np.uint32)
+    if hashes_concat.size == 0:
+        return out
+
+    h = hashes_concat
+    w = weights_concat
+    eff_counts = counts.astype(np.int64)
+    if w is not None:
+        # drop non-positive weights (engine.cr:175-177)
+        w_eff = np.maximum(w, 0.0)
+        keep = w_eff > 0.0
+        if not keep.all():
+            doc_ids = np.repeat(np.arange(n_docs), eff_counts)
+            h = h[keep]
+            kept_docs = doc_ids[keep]
+            eff_counts = np.bincount(kept_docs, minlength=n_docs).astype(np.int64)
+            w_eff = w_eff[keep]
+        divisor = np.where(w_eff < 1.0, np.log1p(w_eff), w_eff)
+    if h.size == 0:
+        return out
+
+    nonempty = eff_counts > 0
+    starts_all = np.concatenate(([0], np.cumsum(eff_counts)[:-1]))
+    ne_idx = np.nonzero(nonempty)[0]
+    ne_starts = starts_all[ne_idx]
+    ne_counts = eff_counts[ne_idx]
+
+    # block over documents so the uint64 intermediate stays bounded
+    rows_per_block = max(1, BLOCK_ELEMS // s)
+    doc_pos = 0
+    while doc_pos < ne_idx.shape[0]:
+        # grow the doc window until shingle rows exceed the block budget
+        end = doc_pos
+        rows = 0
+        while end < ne_idx.shape[0] and (rows == 0 or rows + ne_counts[end] <= rows_per_block):
+            rows += int(ne_counts[end])
+            end += 1
+        lo = int(ne_starts[doc_pos])
+        hi = int(ne_starts[end - 1] + ne_counts[end - 1])
+        hblk = h[lo:hi]
+        with np.errstate(over="ignore"):
+            m = (hblk[:, None] * a[None, :] + b[None, :]) >> np.uint64(32)
+        if w is not None:
+            dv = divisor[lo:hi]
+            vals = np.fmod(m.astype(np.float64) / dv[:, None], U32_MAX_F)
+            m32 = vals.astype(np.uint32)
+        else:
+            m32 = m.astype(np.uint32)
+        local_starts = (ne_starts[doc_pos:end] - lo).astype(np.intp)
+        reduced = np.minimum.reduceat(m32, local_starts, axis=0)
+        out[ne_idx[doc_pos:end]] = reduced
+        doc_pos = end
+    return out
+
+
+def zero_signature(signature_size: int) -> np.ndarray:
+    """All-zero signature for gated-out documents (engine/signature.cr:13-16)."""
+    return np.zeros(signature_size, dtype=np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# LSH band fold (engine.cr:426-456)
+# ---------------------------------------------------------------------------
+
+def band_hashes_batch(
+    signatures: np.ndarray, num_bands: int, rows_per_band: int
+) -> np.ndarray:
+    """Band hashes → uint64[n_docs, num_bands].
+
+    Per band of ``rows_per_band`` uint32 values:
+    ``combined = ((combined << 7) ^ value) mod 2^64`` starting at 0
+    (engine.cr:443-456).  NOTE the reference quirk: when ``bands`` overrides
+    the config, ``rows`` still comes from the config, so only the first
+    ``num_bands * rows_per_band`` signature slots are consumed — callers pass
+    both explicitly to reproduce that behavior.
+    """
+    n = signatures.shape[0]
+    used = num_bands * rows_per_band
+    r = signatures[:, :used].reshape(n, num_bands, rows_per_band).astype(np.uint64)
+    combined = np.zeros((n, num_bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(rows_per_band):
+            combined = (combined << np.uint64(7)) ^ r[:, :, j]
+    return combined
+
+
+# ---------------------------------------------------------------------------
+# similarity kernels (engine.cr:365-421, similarity.cr)
+# ---------------------------------------------------------------------------
+
+def signature_similarity(s1: np.ndarray, s2: np.ndarray) -> float:
+    """Fraction of equal positions; 0.0 on empty or size mismatch
+    (engine.cr:365-375)."""
+    if s1.size == 0 or s2.size == 0 or s1.size != s2.size:
+        return 0.0
+    return float(np.count_nonzero(s1 == s2)) / float(s1.size)
+
+
+def signature_similarity_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise similarity of two (n, s) signature matrices → float64[n]."""
+    if a.size == 0:
+        return np.empty(0, dtype=np.float64)
+    return (a == b).mean(axis=1)
+
+
+def overlap_coefficient(a: np.ndarray, b: np.ndarray) -> float:
+    """|A ∩ B| / min(|A|, |B|) over *sorted* arrays (engine.cr:378-421,
+    similarity.cr:53-69). 0.0 if either empty."""
+    if a.size == 0 or b.size == 0:
+        return 0.0
+    inter = np.intersect1d(a, b, assume_unique=False).size
+    # reference counts multiset matches two-pointer style; on distinct-sorted
+    # inputs (its documented contract) intersect1d is identical
+    return float(inter) / float(min(a.size, b.size))
+
+
+def weighted_overlap(a: dict[str, float], b: dict[str, float]) -> float:
+    """Σ min(w_a, w_b) over shared keys / min(Σ w_a, Σ w_b)
+    (similarity.cr:26-39). 0.0 if either empty."""
+    if not a or not b:
+        return 0.0
+    inter = 0.0
+    for k, w in a.items():
+        bw = b.get(k)
+        if bw is not None:
+            inter += min(w, bw)
+    return inter / min(sum(a.values()), sum(b.values()))
+
+
+def detection_probability(similarity: float, num_bands: int, rows_per_band: int) -> float:
+    """1 - (1 - s^r)^b (engine.cr:460-464)."""
+    return 1.0 - (1.0 - similarity**rows_per_band) ** num_bands
+
+
+def shared_bands(bands1: np.ndarray, bands2: np.ndarray) -> int:
+    """Positional count of equal band hashes (spec'd, unimplemented in ref:
+    openspec/specs/band-matching/spec.md:6-23)."""
+    n = min(bands1.size, bands2.size)
+    return int(np.count_nonzero(bands1[:n] == bands2[:n]))
+
+
+# ---------------------------------------------------------------------------
+# serialization (engine/serialize.cr:5-41)
+# ---------------------------------------------------------------------------
+
+def signature_to_bytes(signature: np.ndarray) -> bytes:
+    """Explicit little-endian uint32 blob (engine/serialize.cr:5-14)."""
+    return np.ascontiguousarray(signature, dtype="<u4").tobytes()
+
+
+def bytes_to_signature(blob: bytes) -> np.ndarray:
+    """Inverse of signature_to_bytes; raises on size % 4 != 0
+    (Signature.from_blob validation, engine.cr:55-67)."""
+    if len(blob) == 0:
+        return np.empty(0, dtype=np.uint32)
+    if len(blob) % 4 != 0:
+        raise ValueError("Invalid blob size: must be a multiple of 4 bytes")
+    return np.frombuffer(blob, dtype="<u4").astype(np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# SimHash extension (north star; Charikar 2002 / Manku et al. WWW'07)
+# ---------------------------------------------------------------------------
+
+def simhash_from_hashes(
+    h64: np.ndarray, weights: np.ndarray | None = None
+) -> int:
+    """64-bit Charikar simhash of a shingle-hash stream.
+
+    bit_j(fp) = 1 iff Σ_shingles (±w) > 0, where the sign is bit j of the
+    shingle hash.  Empty stream → 0.
+    """
+    if h64.size == 0:
+        return 0
+    bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    signs = 2 * bits - 1
+    if weights is not None:
+        acc = (signs * weights[:, None]).sum(axis=0)
+    else:
+        acc = signs.sum(axis=0)
+    fp = np.uint64(0)
+    with np.errstate(over="ignore"):
+        bitvals = (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+    return int(bitvals.sum(dtype=np.uint64))
+
+
+def simhash_batch(
+    hashes_concat: np.ndarray, counts: np.ndarray
+) -> np.ndarray:
+    """Batched simhash → uint64[n_docs] via add.reduceat over sign matrices."""
+    n_docs = int(counts.shape[0])
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if hashes_concat.size == 0:
+        return out
+    nonempty = counts > 0
+    starts_all = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    ne_idx = np.nonzero(nonempty)[0]
+    signs = (
+        2
+        * ((hashes_concat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
+        - 1
+    )
+    sums = np.add.reduceat(signs, starts_all[ne_idx].astype(np.intp), axis=0)
+    with np.errstate(over="ignore"):
+        fps = ((sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+    out[ne_idx] = fps
+    return out
+
+
+def hamming_distance_u64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Element-wise popcount(a XOR b) for uint64 arrays."""
+    x = np.ascontiguousarray(a.astype(np.uint64) ^ b.astype(np.uint64))
+    # popcount via unpackbits on the byte view (vectorized, no Python loop)
+    bytes_view = x.view(np.uint8).reshape(*x.shape, 8)
+    return np.unpackbits(bytes_view, axis=-1).sum(axis=-1).astype(np.int64)
+
+
+def simhash_block_keys(fp: np.ndarray, num_blocks: int = 4) -> np.ndarray:
+    """Split each 64-bit fingerprint into ``num_blocks`` equal bit-blocks →
+    int64[n, num_blocks] block keys (Manku/Jain/Sarma WWW'07 candidate
+    generation: dups within Hamming distance num_blocks-1 share ≥1 block)."""
+    width = 64 // num_blocks
+    mask = np.uint64((1 << width) - 1)
+    shifts = (np.arange(num_blocks, dtype=np.uint64) * np.uint64(width))
+    return ((fp[:, None] >> shifts[None, :]) & mask).astype(np.int64)
+
+
+def rolling_fingerprint(text: str, k: int = 64) -> int:
+    """Document fingerprint: min rolling-hash over k-byte windows (cheap
+    content-defined fingerprint for the text-analysis extras). Whole-text
+    poly hash when shorter than k."""
+    b = text.encode("utf-8")
+    data = np.frombuffer(b, dtype=np.uint8)
+    if data.size == 0:
+        return 0
+    if data.size < k:
+        h = shingle_hashes_bytes(data, data.size)
+        return int(h[0])
+    return int(shingle_hashes_bytes(data, k).min())
+
+
+def log_detection_threshold(num_bands: int, rows_per_band: int) -> float:
+    """Approximate LSH similarity threshold (1/b)^(1/r) (README.md:318-320)."""
+    return math.pow(1.0 / num_bands, 1.0 / rows_per_band)

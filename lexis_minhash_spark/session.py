@@ -1,0 +1,44 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Settings chosen for the 100 TB design point (and harmless locally):
+- AQE on (runtime partition coalescing + skew-join splitting — our band
+  self-join is the skew hotspot, SURVEY.md §4.2)
+- shuffle partitions sized for local[32] tests; a real cluster overrides
+  via spark-submit conf
+- Arrow enabled + bounded batch size so pandas-UDF kernel blocks stay in
+  executor memory
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "lexis-minhash-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
