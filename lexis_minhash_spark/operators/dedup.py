@@ -1,0 +1,319 @@
+"""Training-data deduplication operator family (beyond the reference).
+
+Each operator is a DataFrame → DataFrame stage over a corpus table
+(id + text, or id + embedding).  Shapes:
+
+- exact:     hash-groupBy (one shuffle, partial agg)
+- minhash:   the flagship LSH pipeline (ops.py) — custom hash kernels
+- simhash:   64-bit Charikar fingerprint + Hamming-block candidate join
+             (Manku/Jain/Sarma WWW'07)
+- n-gram Jaccard: token-shingle inverted-index join with document-frequency
+             capping (hot-gram quarantine), exact Jaccard verify — pure SQL
+- embedding cosine: brute-force blocked cosine (baseline) and LSH-bucketed
+             (random-hyperplane) variant for scale
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from lexis_minhash_spark import kernels as K
+from lexis_minhash_spark.functions.similarity import cosine_expr, jaccard_expr
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate groups via content digest. One shuffle; the digest is
+    computed map-side so only (hash, id) moves. Returns
+    (content_hash, n_docs, doc_ids sorted, keeper = min id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+        .withColumn("keeper", F.col("doc_ids")[0])
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per distinct text (min id wins) — the drop stage."""
+    w_min = (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(w_min, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# simhash near-dup
+# ---------------------------------------------------------------------------
+
+def simhash_udf(cfg):
+    """pandas UDF text → int64 simhash fingerprint over the same normalized
+    byte-shingle stream as the MinHash kernel (signed reinterpret of u64)."""
+
+    @pandas_udf(LongType())
+    def _simhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            norm = texts.fillna("").astype(str).str.lower().str.strip()
+            gated = [
+                t if K.passes_gates(t, cfg.min_words, cfg.shingle_size) else ""
+                for t in norm
+            ]
+            hc, counts = K.batch_shingle_hashes(gated, cfg.shingle_size)
+            fps = K.simhash_batch(hc, counts)
+            yield pd.Series(fps.view(np.int64))
+
+    return _simhash
+
+
+def with_simhash(df: DataFrame, cfg, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(id_col, text_col).withColumn("simhash", simhash_udf(cfg)(F.col(text_col)))
+
+
+def simhash_candidate_pairs(
+    sim_df: DataFrame,
+    id_col: str = "doc_id",
+    num_blocks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Hamming-near pairs: split each fingerprint into ``num_blocks`` 16-bit
+    block keys; docs within Hamming distance ``num_blocks - 1`` share at
+    least one block (pigeonhole).  Equi-join per block, then exact popcount
+    filter JVM-side via bit_count(xor).  Returns (a, b, hamming)."""
+    width = 64 // num_blocks
+    mask = (1 << width) - 1
+    blocks = sim_df.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+                    for i in range(num_blocks)
+                ]
+            )
+        ).alias("block_idx", "block_key"),
+    )
+    left = blocks.select(
+        "block_idx", "block_key", F.col(id_col).alias("a"), F.col("simhash").alias("sim_a")
+    )
+    right = blocks.select(
+        "block_idx", "block_key", F.col(id_col).alias("b"), F.col("simhash").alias("sim_b")
+    )
+    return (
+        left.join(right, ["block_idx", "block_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard dedup (pure SQL — oracle-expressible)
+# ---------------------------------------------------------------------------
+
+def word_ngrams_expr(text_col: str, n: int = 3):
+    """Distinct word n-grams of trim(lower(text)), joined with single spaces.
+    Codegen'd; mirrored 1:1 by the DuckDB oracle."""
+    toks = f"split(trim(lower({text_col})), '\\\\s+')"
+    return F.array_distinct(
+        F.expr(
+            f"CASE WHEN size({toks}) >= {n} THEN"
+            f" transform(sequence(1, size({toks}) - {n - 1}),"
+            f" i -> array_join(slice({toks}, i, {n}), ' '))"
+            f" ELSE array() END"
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard pairs ≥ threshold.
+
+    Inverted-index join: explode distinct grams, self-join on gram (grams
+    with document frequency > ``max_doc_freq`` are quarantined from
+    candidate generation — they cannot be discriminative and are the skew
+    hotspot), count shared grams per pair, then exact Jaccard from the
+    per-doc distinct-gram counts.  Candidates missed by the DF cap are only
+    those whose *every* shared gram is ultra-common — by construction far
+    below any useful threshold.  Entirely SQL: one explode, one equi-join,
+    two aggregations."""
+    grams = df.select(
+        F.col(id_col), word_ngrams_expr(text_col, n).alias("grams")
+    ).withColumn("n_grams", F.size("grams"))
+    exploded = grams.select(id_col, "n_grams", F.explode("grams").alias("gram"))
+    if max_doc_freq is not None:
+        hot = (
+            exploded.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("gram")
+        )
+        exploded = exploded.join(F.broadcast(hot), "gram", "left_anti")
+    left = exploded.select(
+        F.col("gram"), F.col(id_col).alias("a"), F.col("n_grams").alias("na")
+    )
+    right = exploded.select(
+        F.col("gram"), F.col(id_col).alias("b"), F.col("n_grams").alias("nb")
+    )
+    pairs = (
+        left.join(right, "gram")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup / similarity search
+# ---------------------------------------------------------------------------
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Cosine near-dup pairs. Brute force within optional blocking key
+    (label, LSH bucket, …) — without a block this is the O(n²) baseline for
+    small n / calibration only; the scale path is lsh_bucketed_cosine_pairs."""
+    cols = [F.col(id_col), F.col(vec_col)]
+    if block_col:
+        cols.append(F.col(block_col))
+    base = df.select(*cols)
+    on = [block_col] if block_col else None
+    a = base.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = base.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("vb"),
+    )
+    joined = a.join(b, on=on) if on else a.crossJoin(b)
+    return (
+        joined.where(F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float32)
+
+
+def hyperplane_bucket_udf(planes: np.ndarray):
+    """pandas UDF embedding → int64 sign-bucket key (random hyperplane LSH,
+    Charikar 2002).  Vectorized matmul per Arrow batch."""
+
+    @pandas_udf(LongType())
+    def _bucket(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batches:
+            if len(vecs) == 0:
+                yield pd.Series([], dtype=np.int64)
+                continue
+            m = np.stack(vecs.to_numpy())
+            signs = (m @ planes.T) > 0
+            key = np.zeros(len(vecs), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(planes.shape[0]):
+                    key |= signs[:, j].astype(np.uint64) << np.uint64(j)
+            yield pd.Series(key.view(np.int64))
+
+    return _bucket
+
+
+def lsh_bucketed_cosine_pairs(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for embedding near-dup: ``n_tables`` independent
+    random-hyperplane sign buckets; candidates = same bucket in any table;
+    verify with exact cosine.  Each table is one groupable int64 key so the
+    join shuffles only (key, id, vec)."""
+    out = df.select(id_col, vec_col)
+    keys = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
+        out = out.withColumn(f"_bk{t}", hyperplane_bucket_udf(planes)(F.col(vec_col)))
+        keys.append(f"_bk{t}")
+    tagged = out.select(
+        id_col,
+        vec_col,
+        F.posexplode(F.array(*[F.col(k) for k in keys])).alias("table_idx", "bucket"),
+    )
+    a = tagged.select(
+        "table_idx", "bucket", F.col(id_col).alias("a"), F.col(vec_col).alias("va")
+    )
+    b = tagged.select(
+        "table_idx", "bucket", F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
+    )
+    cands = (
+        a.join(b, ["table_idx", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb")
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cands.withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force top-k cosine to one query vector — the ANN baseline.
+    Map-side score + global top-k (TakeOrderedAndProject, no full sort)."""
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(F.col(id_col), F.round(cosine_expr(F.col(vec_col), qlit), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,138 @@
+"""Deterministic synthetic clips corpus (audio + transcript pairs).
+
+Generates the input table shape from BASELINE.json input_hint —
+(clip_id:string, bytes:binary, sr_hz:int, dur_ms:int, codec:string,
+transcript:string) — with planted near-duplicate clusters and recorded
+ground truth, entirely from a seed.  No external data, no wall clock.
+
+Duplicate structure (FIXTURES.md §1): clusters of size 1-8; within a
+cluster transcripts are the seed sentence with ≤15% token substitutions;
+duplicate audio is the original PCM plus a small perturbation that keeps
+SNR ≥ ~40 dB (so the per-row invariant 'decoded-PCM allclose at SNR≥30dB'
+holds within clusters).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from lexis_minhash_spark.sources.audio import pcm16_to_wav
+
+VOCAB = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
+    "xray yankee zulu amber birch cedar dune ember flint grove harbor inlet "
+    "jasper knoll ledge marsh nectar orchid pond quarry ridge slate thicket "
+    "umber vale willow yarrow zephyr basil clover dahlia elm fennel"
+).split()
+
+
+def _sentence(rng: np.random.Generator, n_words: int) -> list[str]:
+    return [VOCAB[i] for i in rng.integers(0, len(VOCAB), n_words)]
+
+
+def _mutate(rng: np.random.Generator, words: list[str], rate: float) -> list[str]:
+    out = list(words)
+    n_mut = int(len(out) * rate)
+    for _ in range(n_mut):
+        op = rng.integers(0, 3)
+        idx = int(rng.integers(0, len(out)))
+        if op == 0 and len(out) > 5:
+            out.pop(idx)
+        elif op == 1:
+            out[idx] = VOCAB[int(rng.integers(0, len(VOCAB)))]
+        else:
+            out.insert(idx, VOCAB[int(rng.integers(0, len(VOCAB)))])
+    return out
+
+
+def _tone(rng: np.random.Generator, sr_hz: int, dur_ms: int) -> np.ndarray:
+    """Seeded sum-of-sines + noise, float64 in [-1, 1)."""
+    n = int(sr_hz * dur_ms / 1000)
+    t = np.arange(n, dtype=np.float64) / sr_hz
+    sig = np.zeros(n)
+    for _ in range(3):
+        f = float(rng.uniform(80.0, 2000.0))
+        amp = float(rng.uniform(0.1, 0.3))
+        phase = float(rng.uniform(0, 2 * np.pi))
+        sig += amp * np.sin(2 * np.pi * f * t + phase)
+    sig += rng.normal(0, 0.01, n)
+    return np.clip(sig, -0.99, 0.99)
+
+
+def generate_clips(
+    n_clips: int = 500,
+    seed: int = 42,
+    dup_fraction: float = 0.3,
+    mutation_rate: float = 0.10,
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Returns (clips, truth_clusters) pandas frames.
+
+    clips: clip_id, bytes (WAV), sr_hz, dur_ms, codec, transcript
+    truth_clusters: clip_id, cluster_id (planted ground truth; singletons
+    included with cluster_id = own clip index)
+    """
+    rng = np.random.default_rng(seed)
+    rows = []
+    truth = []
+    i = 0
+    cluster_seq = 0
+    while i < n_clips:
+        is_cluster = rng.random() < dup_fraction
+        size = int(rng.integers(2, 9)) if is_cluster else 1
+        size = min(size, n_clips - i)
+        base_words = _sentence(rng, int(rng.integers(8, 40)))
+        sr_hz = int(rng.choice([16000, 16000, 16000, 8000, 44100]))
+        dur_ms = int(rng.integers(500, 3000))
+        base_pcm = _tone(rng, sr_hz, dur_ms)
+        cluster_id = f"cluster_{cluster_seq:06d}"
+        cluster_seq += 1
+        for j in range(size):
+            clip_id = f"clip_{i:08d}"
+            if j == 0:
+                words = base_words
+                pcm = base_pcm
+            else:
+                words = _mutate(rng, base_words, mutation_rate)
+                # perturb audio at ~46 dB SNR (well above the 30 dB invariant)
+                noise = rng.normal(0, 0.005, base_pcm.shape[0]) * np.abs(base_pcm).mean()
+                pcm = np.clip(base_pcm + noise, -0.99, 0.99)
+            samples = (pcm * 32767.0).astype(np.int16)
+            rows.append(
+                {
+                    "clip_id": clip_id,
+                    "bytes": pcm16_to_wav(samples, sr_hz),
+                    "sr_hz": sr_hz,
+                    "dur_ms": dur_ms,
+                    "codec": "pcm_s16le",
+                    "transcript": " ".join(words),
+                }
+            )
+            truth.append({"clip_id": clip_id, "cluster_id": cluster_id})
+            i += 1
+    # edge-case rows (FIXTURES.md §6): overwrite a few transcripts, keep audio
+    edge = {
+        1: "",
+        3: "   ",
+        5: "one two three",  # < min_words
+        7: "ab cd",  # < min_words and short
+    }
+    for idx, txt in edge.items():
+        if idx < len(rows):
+            rows[idx]["transcript"] = txt
+    clips = pd.DataFrame(rows)
+    truth_df = pd.DataFrame(truth)
+    return clips, truth_df
+
+
+def clips_spark_df(spark, n_clips: int = 500, seed: int = 42, **kw):
+    """Clips as a Spark DataFrame with the contract schema."""
+    clips, truth = generate_clips(n_clips=n_clips, seed=seed, **kw)
+    schema = (
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+        "codec string, transcript string"
+    )
+    sdf = spark.createDataFrame(clips, schema=schema)
+    tdf = spark.createDataFrame(truth, schema="clip_id string, cluster_id string")
+    return sdf, tdf

@@ -1,0 +1,166 @@
+"""Synthetic clips corpus, audio plumbing invariants, end-to-end recall,
+and checkpoint/resume (BASELINE.json north_rule requirements)."""
+
+import shutil
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lexis_minhash_spark.config import EngineConfig
+from lexis_minhash_spark import oracle as O
+from lexis_minhash_spark import ops
+from lexis_minhash_spark.plans.pipeline import DedupPipeline
+from lexis_minhash_spark.sources import audio, synth
+
+CFG = EngineConfig(seed=12345)
+
+
+class TestAudioKernels:
+    def test_wav_roundtrip(self):
+        rng = np.random.default_rng(0)
+        samples = (rng.uniform(-0.5, 0.5, 1600) * 32767).astype(np.int16)
+        blob = audio.pcm16_to_wav(samples, 16000)
+        out, sr = audio.wav_to_pcm16(blob)
+        assert sr == 16000
+        assert np.array_equal(out, samples)
+
+    def test_decode_unknown_codec_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            audio.decode_clip(b"xxxx", "opus")
+
+    def test_malformed_wav(self):
+        with pytest.raises(ValueError):
+            audio.wav_to_pcm16(b"not a wav")
+
+    def test_snr(self):
+        rng = np.random.default_rng(1)
+        sig = rng.standard_normal(8000)
+        assert audio.snr_db(sig, sig) == float("inf")
+        noisy = sig + rng.standard_normal(8000) * 0.01
+        assert 35.0 < audio.snr_db(sig, noisy) < 45.0
+
+
+class TestSyntheticCorpus:
+    def test_deterministic(self):
+        c1, t1 = synth.generate_clips(n_clips=50, seed=42)
+        c2, t2 = synth.generate_clips(n_clips=50, seed=42)
+        assert c1["transcript"].tolist() == c2["transcript"].tolist()
+        assert c1["bytes"].iloc[0] == c2["bytes"].iloc[0]
+        c3, _ = synth.generate_clips(n_clips=50, seed=43)
+        assert c1["transcript"].tolist() != c3["transcript"].tolist()
+
+    def test_schema_and_edge_rows(self, spark):
+        sdf, tdf = synth.clips_spark_df(spark, n_clips=50, seed=42)
+        assert sdf.columns == ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+        assert sdf.count() == 50
+        # planted edge rows: empty / whitespace / short transcripts
+        texts = {r.clip_id: r.transcript for r in sdf.collect()}
+        assert "" in texts.values()
+
+    def test_per_row_invariants_snr_and_transcript(self):
+        """input_hint invariant: within a planted cluster, decoded PCM of a
+        dup vs its original is allclose at SNR >= 30 dB."""
+        clips, truth = synth.generate_clips(n_clips=80, seed=42)
+        merged = clips.merge(truth, on="clip_id")
+        for cid, grp in merged.groupby("cluster_id"):
+            if len(grp) < 2:
+                continue
+            rows = grp.sort_values("clip_id")
+            base = audio.decode_clip(rows.iloc[0]["bytes"], "pcm_s16le")
+            for i in range(1, len(rows)):
+                dup = audio.decode_clip(rows.iloc[i]["bytes"], "pcm_s16le")
+                assert audio.snr_db(base, dup) >= 30.0
+
+    def test_audio_features_stage(self, spark):
+        sdf, _ = synth.clips_spark_df(spark, n_clips=20, seed=42)
+        feats = audio.with_audio_features(sdf).collect()
+        assert len(feats) == 20
+        for r in feats:
+            assert r.n_samples > 0
+            assert 0.0 < r.rms < 1.0
+            assert len(r.frame_energies) >= 1
+
+
+class TestEndToEndRecall:
+    def test_dup_pair_recall_vs_reference_oracle(self, spark):
+        """north_rule gate: cluster assignments match the reference-semantics
+        oracle at the same config with dup-pair recall >= 0.99.
+
+        The oracle is the scalar reimplementation of the reference formulas
+        (bit-exact, tests/test_kernels.py), run over the same corpus."""
+        sdf, truth = synth.clips_spark_df(spark, n_clips=300, seed=42)
+        docs = sdf.select(
+            F.monotonically_increasing_id().alias("_tmp"),
+            F.col("clip_id"),
+            F.col("transcript").alias("text"),
+        ).select(
+            F.expr("cast(substring(clip_id, 6, 8) as long)").alias("doc_id"), "text"
+        )
+        sig = ops.with_signatures(docs, CFG).cache()
+        ver = ops.verified_pairs(ops.candidate_pairs(ops.bands_table(sig)), sig, 0.75)
+        got = {(r.a, r.b) for r in ver.collect()}
+
+        pdf = docs.toPandas()
+        ao, bo = O.oracle_coefficients(12345, 100)
+        sigs = {
+            int(r.doc_id): O.oracle_signature(r.text, ao, bo, 5, 4)
+            for r in pdf.itertuples()
+        }
+        nonzero = {d: s for d, s in sigs.items() if any(s)}
+        exp = O.oracle_find_similar_pairs(nonzero, 20, 5, 0.75)
+        # recall vs reference pairs (target >= 0.99; bit-exact kernels give 1.0)
+        recall = len(got & exp) / max(len(exp), 1)
+        assert recall >= 0.99
+        assert got == exp  # and in fact exact equality
+
+    def test_cluster_assignments_match_oracle(self, spark):
+        sdf, truth = synth.clips_spark_df(spark, n_clips=200, seed=42)
+        docs = sdf.select(
+            F.expr("cast(substring(clip_id, 6, 8) as long)").alias("doc_id"),
+            F.col("transcript").alias("text"),
+        )
+        sig = ops.with_signatures(docs, CFG).cache()
+        ver = ops.verified_pairs(ops.candidate_pairs(ops.bands_table(sig)), sig, 0.75)
+        cl = ops.clusters_with_singletons(sig, ops.connected_components(ver.select("a", "b")))
+        got = {r.doc_id: r.cluster_id for r in cl.collect()}
+        pdf = docs.toPandas()
+        ao, bo = O.oracle_coefficients(12345, 100)
+        sigs = {int(r.doc_id): O.oracle_signature(r.text, ao, bo, 5, 4) for r in pdf.itertuples()}
+        nonzero = {d: s for d, s in sigs.items() if any(s)}
+        exp_pairs = O.oracle_find_similar_pairs(nonzero, 20, 5, 0.75)
+        exp_cc = O.oracle_connected_components(exp_pairs)
+        for d in got:
+            assert got[d] == exp_cc.get(d, d)
+
+
+class TestCheckpointResume:
+    def test_resume_skips_completed_stages(self, spark, tmp_path):
+        workdir = str(tmp_path / "ckpt")
+        docs = spark.createDataFrame(
+            [
+                (1, "apple banana orange fruit salad recipe with apple and banana"),
+                (2, "apple banana orange fruit salad recipe with apple and banana"),
+                (3, "completely unrelated cooking about pasta and sauce"),
+            ],
+            "doc_id long, text string",
+        )
+        p1 = DedupPipeline(spark, CFG, workdir, input_desc="test-docs")
+        cl1 = p1.run(docs)
+        res1 = {r.doc_id: r.cluster_id for r in cl1.collect()}
+        assert res1 == {1: 1, 2: 1, 3: 3}
+        assert all(not r.skipped for r in p1.results)
+
+        # simulate mid-run kill: delete the last two stage outputs, resume
+        shutil.rmtree(f"{workdir}/verified")
+        shutil.rmtree(f"{workdir}/clusters")
+        p2 = DedupPipeline(spark, CFG, workdir, input_desc="test-docs")
+        cl2 = p2.run(docs)
+        res2 = {r.doc_id: r.cluster_id for r in cl2.collect()}
+        assert res2 == res1
+        skipped = {r.name: r.skipped for r in p2.results}
+        assert skipped["signatures"] and skipped["bands"] and skipped["candidates"]
+        assert not skipped["verified"] and not skipped["clusters"]
+        # metrics + lineage written
+        stages = [m["stage"] for m in p2.metrics()]
+        assert "signatures" in stages and "clusters" in stages
