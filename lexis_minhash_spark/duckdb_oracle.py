@@ -1,0 +1,230 @@
+"""DuckDB SQL generators that replicate the MinHash/LSH math in pure SQL.
+
+Used for the driver's correctness gate (oracle_sql side of
+__spark_entry__.py): DuckDB independently recomputes signatures, band
+hashes, candidate pairs, verified pairs, and clusters from the raw parquet
+— no Python kernels involved — and the driver value-hash-compares it with
+the Spark pipeline output.
+
+Why this is exact: for shingle_size=5 over ASCII text the polynomial hash
+sum(byte * 31^(k-1-j)) ≤ 255 * Σ31^j < 2^31, so it never wraps and fits
+BIGINT; the multiply-shift a*h+b then fits HUGEINT (int128) where an
+explicit ``% 2^64`` reproduces Crystal's ``&*``/``&+`` wraparound and
+``// 2^32`` reproduces ``>> 32``.  The band fold's ``<< 7 ^`` is done with
+HUGEINT modular shift + signed-BIGINT xor.
+
+Scope guard: these oracles assume ASCII corpora (the driver's synthetic
+``documents`` table is ASCII; parity fixtures are ASCII by design —
+FIXTURES.md §6).  Non-ASCII text would diverge (codepoints vs UTF-8 bytes).
+"""
+
+from __future__ import annotations
+
+from lexis_minhash_spark.config import EngineConfig
+
+U64 = "18446744073709551616"  # 2^64
+U63 = "9223372036854775808"  # 2^63
+U32 = "4294967296"  # 2^32
+
+
+def coeff_cte(cfg: EngineConfig) -> str:
+    a, b = cfg.coefficients
+    rows = ",\n      ".join(
+        f"({i}, {int(a[i])}::HUGEINT, {int(b[i])}::HUGEINT)" for i in range(cfg.signature_size)
+    )
+    return f"coeff(i, a, b) AS (VALUES\n      {rows})"
+
+
+def gated_docs_cte(cfg: EngineConfig, table: str = "documents", where: str = "TRUE") -> str:
+    """Documents passing the zero-signature gates (engine/signature.cr:13-16),
+    with normalized text."""
+    return f"""docs AS (
+    SELECT doc_id, trim(lower(text)) AS norm
+    FROM {table} WHERE {where}
+  ),
+  gated AS (
+    SELECT doc_id, norm FROM docs
+    WHERE length(norm) > 0
+      AND length(regexp_split_to_array(norm, '\\s+')) >= {cfg.min_words}
+      AND length(norm) >= {cfg.shingle_size}
+  )"""
+
+
+def shingles_cte(cfg: EngineConfig) -> str:
+    k = cfg.shingle_size
+    return f"""shingles AS (
+    SELECT doc_id,
+           list_reduce(
+             list_transform(range(0, {k}), j -> ascii(substring(norm, (i + j)::INT, 1))),
+             (x, y) -> x * 31 + y
+           )::HUGEINT AS h
+    FROM gated, UNNEST(range(1, length(norm) - {k - 2})) AS t(i)
+  )"""
+
+
+def signatures_cte() -> str:
+    return f"""sigs AS (
+    SELECT s.doc_id, c.i,
+           (min(((c.a * s.h + c.b) % {U64}::HUGEINT) // {U32}::HUGEINT))::BIGINT AS value
+    FROM shingles s CROSS JOIN coeff c
+    GROUP BY s.doc_id, c.i
+  )"""
+
+
+def _fold_step() -> str:
+    """Lambda body for one ((acc << 7) ^ v) mod 2^64 step over (x: HUGEINT
+    unsigned acc, y: HUGEINT value < 2^32).  DuckDB lambdas cannot contain
+    subqueries, so the shifted/xored intermediate is inlined (duplicated) in
+    a flat CASE expression."""
+    shifted_signed = (
+        f"(CASE WHEN ((x * 128) % {U64}::HUGEINT) >= {U63}::HUGEINT"
+        f" THEN (((x * 128) % {U64}::HUGEINT) - {U64}::HUGEINT)::BIGINT"
+        f" ELSE ((x * 128) % {U64}::HUGEINT)::BIGINT END)"
+    )
+    xored = f"xor({shifted_signed}, y::BIGINT)"
+    return (
+        f"(CASE WHEN {xored} < 0 THEN {xored}::HUGEINT + {U64}::HUGEINT"
+        f" ELSE {xored}::HUGEINT END)"
+    )
+
+
+def bands_cte(cfg: EngineConfig) -> str:
+    """Band fold (engine.cr:443-456): list-ordered fold of rows_per_band
+    signature values with ((acc << 7) ^ v) mod 2^64; list_reduce's
+    first-element init is equivalent to the reference's acc=0 start since
+    (0<<7)^v0 = v0."""
+    r = cfg.rows_per_band
+    return f"""band_vals AS (
+    SELECT doc_id, (i // {r})::INT AS band_idx, list(value ORDER BY i) AS vals
+    FROM sigs WHERE i < {cfg.num_bands * r}
+    GROUP BY doc_id, (i // {r})
+  ),
+  bands_u AS (
+    SELECT doc_id, band_idx,
+           list_reduce(list_transform(vals, v -> v::HUGEINT),
+                       (x, y) -> {_fold_step()}) AS u
+    FROM band_vals
+  ),
+  bands AS (
+    SELECT doc_id, band_idx,
+           CASE WHEN u >= {U63}::HUGEINT THEN (u - {U64}::HUGEINT)::BIGINT
+                ELSE u::BIGINT END AS band_hash
+    FROM bands_u
+  )"""
+
+
+def signature_slots_sql(cfg: EngineConfig, table: str = "documents", where: str = "TRUE") -> str:
+    """(doc_id, i, value): every signature slot of every gated doc."""
+    return f"""WITH {coeff_cte(cfg)},
+  {gated_docs_cte(cfg, table, where)},
+  {shingles_cte(cfg)},
+  {signatures_cte()}
+  SELECT doc_id, i, value FROM sigs ORDER BY doc_id, i"""
+
+
+def bands_sql(cfg: EngineConfig, table: str = "documents", where: str = "TRUE") -> str:
+    """(doc_id, band_idx, band_hash) for every gated doc."""
+    return f"""WITH {coeff_cte(cfg)},
+  {gated_docs_cte(cfg, table, where)},
+  {shingles_cte(cfg)},
+  {signatures_cte()},
+  {bands_cte(cfg)}
+  SELECT doc_id, band_idx, band_hash FROM bands ORDER BY doc_id, band_idx"""
+
+
+def _pairs_ctes(cfg: EngineConfig, table: str, where: str, recursive: bool = False) -> str:
+    kw = "WITH RECURSIVE" if recursive else "WITH"
+    return f"""{kw} {coeff_cte(cfg)},
+  {gated_docs_cte(cfg, table, where)},
+  {shingles_cte(cfg)},
+  {signatures_cte()},
+  {bands_cte(cfg)},
+  cand AS (
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bands x JOIN bands y
+      ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+  ),
+  verified AS (
+    SELECT c.a, c.b,
+           avg(CASE WHEN sa.value = sb.value THEN 1.0 ELSE 0.0 END) AS similarity
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.a
+    JOIN sigs sb ON sb.doc_id = c.b AND sb.i = sa.i
+    GROUP BY c.a, c.b
+  )"""
+
+
+def candidate_pairs_sql(cfg: EngineConfig, table: str = "documents", where: str = "TRUE") -> str:
+    return f"""{_pairs_ctes(cfg, table, where)}
+  SELECT a, b FROM cand ORDER BY a, b"""
+
+
+def verified_pairs_sql(
+    cfg: EngineConfig, threshold: float = 0.75, table: str = "documents", where: str = "TRUE"
+) -> str:
+    return f"""{_pairs_ctes(cfg, table, where)}
+  SELECT a, b, round(similarity, 6) AS similarity
+  FROM verified WHERE similarity >= {threshold} ORDER BY a, b"""
+
+
+def simhash_sql(cfg: EngineConfig, table: str = "documents", where: str = "TRUE") -> str:
+    """(doc_id, simhash) — Charikar simhash over the same shingle stream,
+    recomputed in SQL via per-bit sign sums.  Valid because k=5 ASCII shingle
+    hashes are < 2^31, so BIGINT bit ops suffice (module docstring)."""
+    return f"""WITH {gated_docs_cte(cfg, table, where)},
+  {shingles_cte(cfg)},
+  bits AS (
+    SELECT doc_id, j,
+           sum(CASE WHEN ((h::BIGINT >> j::INT) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+    FROM shingles, UNNEST(range(0, 64)) AS t(j)
+    GROUP BY doc_id, j
+  ),
+  fp AS (
+    SELECT doc_id, sum(CASE WHEN acc > 0 THEN (1::BIGINT << j::INT) ELSE 0 END) AS simhash
+    FROM bits GROUP BY doc_id
+  )
+  SELECT d.doc_id, coalesce(f.simhash, 0)::BIGINT AS simhash
+  FROM (SELECT doc_id FROM {table} WHERE {where}) d
+  LEFT JOIN fp f ON f.doc_id = d.doc_id
+  ORDER BY d.doc_id"""
+
+
+def band_load_factors_sql(cfg: EngineConfig, table: str = "documents", where: str = "TRUE") -> str:
+    """(band_idx, n_entries, n_buckets, avg_bucket_size) metrics."""
+    return f"""WITH {coeff_cte(cfg)},
+  {gated_docs_cte(cfg, table, where)},
+  {shingles_cte(cfg)},
+  {signatures_cte()},
+  {bands_cte(cfg)}
+  SELECT band_idx, count(*)::BIGINT AS n_entries,
+         count(DISTINCT band_hash)::BIGINT AS n_buckets,
+         round(count(*)::DOUBLE / count(DISTINCT band_hash), 6) AS avg_bucket_size
+  FROM bands GROUP BY band_idx ORDER BY band_idx"""
+
+
+def clusters_sql(
+    cfg: EngineConfig, threshold: float = 0.75, table: str = "documents", where: str = "TRUE"
+) -> str:
+    """(doc_id, cluster_id) for ALL docs in scope: min reachable doc id over
+    the verified-pair graph via a recursive transitive closure (clusters are
+    tiny, so the closure is bounded); singletons + gated-out docs map to
+    themselves."""
+    return f"""{_pairs_ctes(cfg, table, where, recursive=True)},
+  edges AS (
+    SELECT a AS src, b AS dst FROM verified WHERE similarity >= {threshold}
+    UNION ALL
+    SELECT b, a FROM verified WHERE similarity >= {threshold}
+  ),
+  reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+  ),
+  comp AS (
+    SELECT src AS doc_id, least(min(dst), src) AS cluster_id
+    FROM reach GROUP BY src
+  )
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM (SELECT doc_id FROM {table} WHERE {where}) d
+  LEFT JOIN comp c ON c.doc_id = d.doc_id
+  ORDER BY d.doc_id"""

@@ -170,7 +170,7 @@ def minhash_batch(
 
     ``weights_concat`` (float64, parallel to ``hashes_concat``) switches to
     the weighted update (engine.cr:170-186): effective weight = max(w,0),
-    w<=0 shingles skipped, divisor = log1p(w) if w<1 else w, value =
+    w<=0 shingles skipped, divisor = log(1+w) if w<1 else w, value =
     fmod(h32/divisor, 4294967295.0) truncated to uint32.
 
     Documents with zero shingles yield the UInt32::MAX-filled init vector —
@@ -195,7 +195,9 @@ def minhash_batch(
             kept_docs = doc_ids[keep]
             eff_counts = np.bincount(kept_docs, minlength=n_docs).astype(np.int64)
             w_eff = w_eff[keep]
-        divisor = np.where(w_eff < 1.0, np.log1p(w_eff), w_eff)
+        # NB: the reference computes Math.log(1.0 + w) (engine.cr:179) — NOT
+        # log1p — and the two differ in the last ulp for general w; mirror it.
+        divisor = np.where(w_eff < 1.0, np.log(1.0 + w_eff), w_eff)
     if h.size == 0:
         return out
 

@@ -388,6 +388,28 @@ def query_with_scores(
     return scored
 
 
+def sig_array_udf():
+    """pandas UDF binary LE-u32 blob → array<long> of signature values."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def _to_array(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for blobs in it:
+            yield pd.Series(
+                [np.frombuffer(b, dtype="<u4").astype(np.int64) for b in blobs]
+            )
+
+    return _to_array
+
+
+def signature_slots(sig_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exploded signature slots (doc_id, i, value) for non-zero signatures —
+    the bit-exact correctness surface checked by the DuckDB oracle."""
+    return (
+        sig_df.where(~F.col("is_zero"))
+        .select(id_col, F.posexplode(sig_array_udf()(F.col("sig"))).alias("i", "value"))
+    )
+
+
 def band_load_factors(bands_df: DataFrame) -> DataFrame:
     """L4/L11 metrics: docs per band and per-bucket stats
     (index.cr:231-233 load_factors as a metrics query)."""
