@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+Workloads (all deterministic, seed=42):
+  dedup_e2e      — flagship MinHash→LSH→verify→clusters over a synthesized
+                   clips corpus (transcripts; N = SPARK_GRAFT_BENCH_CLIPS,
+                   default 50_000) read from parquet like production
+  simhash_pairs  — simhash fingerprint + Hamming-block candidate pairs on
+                   the same corpus
+  docs_verified  — verified pairs on the driver documents table ($SF_DIR)
+  ngram_jaccard  — word-trigram Jaccard pairs on documents
+  embedding_knn  — brute-force cosine top-10 on embeddings
+
+Environment: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_CLIPS (default 50000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from lexis_minhash_spark.config import EngineConfig
+from lexis_minhash_spark import ops
+from lexis_minhash_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CLIPS = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", "50000"))
+SEED = 42
+CFG = EngineConfig(seed=12345)
+
+
+def ensure_corpus(spark, n_clips: int) -> str:
+    """Synthesize (once) and return the parquet path of the bench corpus."""
+    path = f"/tmp/lexis_bench_corpus_{n_clips}_{SEED}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from lexis_minhash_spark.sources.synth import generate_clips
+
+        clips, _ = generate_clips(n_clips=n_clips, seed=SEED, with_audio=False)
+        clips = clips[["clip_id", "transcript"]]
+        clips["doc_id"] = clips["clip_id"].str.slice(5).astype("int64")
+        sdf = spark.createDataFrame(clips[["doc_id", "transcript"]])
+        sdf.repartition(CPUS * 2).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="lexis-minhash-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    corpus_path = ensure_corpus(spark, N_CLIPS)
+
+    # -- dedup_e2e: the flagship pipeline -----------------------------------
+    t0 = time.monotonic()
+    # small-file parquet coalesces to ~1 input split (maxPartitionBytes);
+    # spread the CPU-bound signature UDF across all cores explicitly
+    docs = (
+        spark.read.parquet(corpus_path)
+        .withColumnRenamed("transcript", "text")
+        .repartition(CPUS * 3)
+    )
+    sig = ops.with_signatures(docs, CFG).persist()
+    bands = ops.bands_table(sig)
+    cands = ops.candidate_pairs_grouped(bands, max_bucket_size=10_000)
+    ver = ops.verified_pairs(cands, sig, 0.75)
+    cc = ops.connected_components(ver.select("a", "b"))
+    clusters = ops.clusters_with_singletons(sig, cc)
+    n_rows = clusters.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    t_dedup = time.monotonic() - t0
+    queries["dedup_e2e"] = round(t_dedup, 3)
+    extras["dedup_rows"] = n_rows
+    extras["dedup_clusters"] = n_clusters
+    extras["clips_per_sec"] = round(N_CLIPS / t_dedup, 1)
+
+    # -- simhash fingerprints + hamming pairs --------------------------------
+    from lexis_minhash_spark.operators.dedup import simhash_candidate_pairs, with_simhash
+
+    t0 = time.monotonic()
+    sim = with_simhash(docs, CFG)
+    n_sim_pairs = simhash_candidate_pairs(sim, max_hamming=3).count()
+    queries["simhash_pairs"] = round(time.monotonic() - t0, 3)
+    extras["simhash_pair_count"] = n_sim_pairs
+    sig.unpersist()
+
+    # -- documents-table workloads -------------------------------------------
+    ddocs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.monotonic()
+    dsig = ops.with_signatures(ddocs, CFG).persist()
+    dver = ops.verified_pairs(ops.candidate_pairs(ops.bands_table(dsig)), dsig, 0.75)
+    extras["docs_verified_count"] = dver.count()
+    queries["docs_verified"] = round(time.monotonic() - t0, 3)
+    dsig.unpersist()
+
+    from lexis_minhash_spark.operators.dedup import cosine_topk, ngram_jaccard_pairs
+
+    t0 = time.monotonic()
+    extras["ngram_pair_count"] = ngram_jaccard_pairs(
+        ddocs, n=3, threshold=0.2, max_doc_freq=None
+    ).count()
+    queries["ngram_jaccard"] = round(time.monotonic() - t0, 3)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qvec = emb.where("vec_id = 0").head().embedding
+    t0 = time.monotonic()
+    cosine_topk(emb, list(qvec), k=10).collect()
+    queries["embedding_knn"] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "lexis_minhash_spark_bench",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "n_clips": N_CLIPS,
+                "cpus": CPUS,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -33,8 +33,9 @@ _U32_FULL = np.uint32(0xFFFFFFFF)
 _WS_RE = re.compile(r"\s+")
 
 # Max elements in one (shingles x signature_size) block during min-reduce;
-# bounds peak memory to ~BLOCK_ELEMS * 8 bytes for the uint64 intermediate.
-BLOCK_ELEMS = 8_000_000
+# bounds peak scratch to ~BLOCK_ELEMS * 8 B per buffer.  1M elements (8 MB)
+# measured fastest on the target hosts (cache-resident beats fewer blocks).
+BLOCK_ELEMS = 1_000_000
 
 
 # ---------------------------------------------------------------------------
@@ -74,8 +75,40 @@ def shingle_hashes_bytes(data: np.ndarray, k: int) -> np.ndarray:
 
     h(w) = sum(w[j] * 31^(k-1-j)) mod 2^64 — identical values to the
     reference's incremental rolling form (rolling.cr:44-62), computed as k
-    fused vector ops (Horner) instead of a per-byte loop.
+    fused vector Horner steps.
+
+    Perf note: x86 has no SIMD 64-bit integer multiply, and on this class of
+    host NumPy's uint64 ``*`` is ~100x slower than float64 ``*``.  The Horner
+    step therefore runs on two 32-bit limbs held in float64 (exact: every
+    intermediate < 2^38 << 2^53), and the limbs are recombined to uint64 at
+    the end.  Bit-identical to the u64 reference path
+    (_shingle_hashes_bytes_u64, kept for cross-checks).
     """
+    n = int(data.shape[0]) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    two32 = 4294967296.0  # 2^32
+    lo = np.zeros(n, dtype=np.float64)
+    hi = np.zeros(n, dtype=np.float64)
+    t = np.empty(n, dtype=np.float64)
+    carry = np.empty(n, dtype=np.float64)
+    for j in range(k):
+        # (hi*2^32 + lo) * 31 + byte, carried mod 2^64; all in-place
+        np.multiply(lo, 31.0, out=t)
+        np.add(t, data[j : j + n], out=t)      # <= 31*(2^32-1) + 255 < 2^37
+        np.multiply(t, 1.0 / two32, out=carry)
+        np.floor(carry, out=carry)
+        np.multiply(carry, two32, out=lo)
+        np.subtract(t, lo, out=lo)             # t mod 2^32
+        np.multiply(hi, 31.0, out=hi)
+        np.add(hi, carry, out=hi)
+        np.fmod(hi, two32, out=hi)             # drop bits >= 64
+    return lo.astype(np.uint64) + (hi.astype(np.uint64) << np.uint64(32))
+
+
+def _shingle_hashes_bytes_u64(data: np.ndarray, k: int) -> np.ndarray:
+    """Reference u64 implementation (slow on hosts without SIMD u64 mul);
+    kept for property-test cross-checking of the limb fast path."""
     n = int(data.shape[0]) - k + 1
     if n <= 0:
         return np.empty(0, dtype=np.uint64)
@@ -140,6 +173,81 @@ def batch_shingle_hashes(
 # MinHash min-reduce (engine/signature.cr:7-30; weighted engine.cr:170-186)
 # ---------------------------------------------------------------------------
 
+def _u64_limbs16(x: np.ndarray, axis_new: int) -> np.ndarray:
+    """Split uint64 array into four 16-bit limbs as float64 (exact)."""
+    sh = (np.arange(4, dtype=np.uint64) * np.uint64(16))
+    if axis_new == 0:
+        out = ((x[None, :] >> sh[:, None]) & np.uint64(0xFFFF)).astype(np.float64)
+    else:
+        out = ((x[:, None] >> sh[None, :]) & np.uint64(0xFFFF)).astype(np.float64)
+    return out
+
+
+def _prep_coeff_limbs(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    return _u64_limbs16(a, 0), _u64_limbs16(b, 0)  # (4, S) each
+
+
+class _MulShiftScratch:
+    """Reusable block buffers.  Fresh 64 MB allocations page-fault heavily on
+    microVM hosts (measured ~30x slower than ``out=`` reuse), so every
+    elementwise pass below writes into preallocated scratch."""
+
+    def __init__(self, max_rows: int, s: int):
+        self.max_rows = max_rows
+        self.h_lim = np.empty((max_rows, 4), dtype=np.float64)
+        self.L = [np.empty((max_rows, s), dtype=np.float64) for _ in range(4)]
+        self.m32 = np.empty((max_rows, s), dtype=np.uint32)
+        self.fw = np.empty((max_rows, s), dtype=np.float64)
+
+
+def _mulshift_high32(
+    h: np.ndarray,
+    a_lim: np.ndarray,
+    b_lim: np.ndarray,
+    scratch: _MulShiftScratch | None = None,
+) -> np.ndarray:
+    """``((a*h + b) mod 2^64) >> 32`` for all (shingle, hash-fn) pairs →
+    float64[n, S] with integer values in [0, 2^32).  Returns a view into
+    ``scratch`` when provided — consume before the next call.
+
+    Exact 16-bit-limb schoolbook multiply in float64 (every partial column
+    sum < 2^35 << 2^53; divisions/mods are by powers of two, hence exact),
+    with the cross-limb products as BLAS matmuls.  This replaces the naive
+    uint64 path because x86 lacks SIMD 64-bit multiply and NumPy's u64 ``*``
+    is ~100x slower than float64 on the target hosts; values are
+    bit-identical (cross-checked against the u64 path in tests)."""
+    n = int(h.shape[0])
+    s = a_lim.shape[1]
+    if scratch is None or scratch.max_rows < n:
+        scratch = _MulShiftScratch(n, s)
+    # 16-bit limbs via zero-copy little-endian view
+    h_lim = scratch.h_lim[:n]
+    np.copyto(h_lim, np.ascontiguousarray(h).view(np.uint16).reshape(n, 4))
+    L0, L1, L2, L3 = (buf[:n] for buf in scratch.L)
+    # column sums L_k = Σ_{i+j=k} h_i * a_j + b_k  (weight 2^(16k); k>3
+    # columns only affect bits >= 64, dropped by mod 2^64)
+    for k, Lk in enumerate((L0, L1, L2, L3)):
+        np.matmul(h_lim[:, : k + 1], a_lim[k::-1, :], out=Lk)
+        Lk += b_lim[k]
+    inv16, two16 = 1.0 / 65536.0, 65536.0
+    # carry chain, all in-place (c lives in L0 after its limb is consumed)
+    np.multiply(L0, inv16, out=L0)
+    np.floor(L0, out=L0)          # c1
+    L1 += L0                      # t1
+    np.multiply(L1, inv16, out=L0)
+    np.floor(L0, out=L0)          # c2
+    L2 += L0                      # t2
+    np.multiply(L2, inv16, out=L0)
+    np.floor(L0, out=L0)          # c3
+    L3 += L0                      # t3
+    np.multiply(L0, two16, out=L0)
+    np.subtract(L2, L0, out=L2)   # d2 = t2 - c3*2^16
+    np.fmod(L3, two16, out=L3)    # d3
+    np.multiply(L3, two16, out=L3)
+    np.add(L2, L3, out=L2)        # H = d2 + 2^16 * d3
+    return L2
+
+
 def minhash_from_hashes(
     h64: np.ndarray, a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:
@@ -150,8 +258,8 @@ def minhash_from_hashes(
     s = a.shape[0]
     if h64.size == 0:
         return np.full(s, _U32_FULL, dtype=np.uint32)
-    with np.errstate(over="ignore"):
-        m = (h64[:, None] * a[None, :] + b[None, :]) >> np.uint64(32)
+    a_lim, b_lim = _prep_coeff_limbs(a, b)
+    m = _mulshift_high32(h64.astype(np.uint64), a_lim, b_lim)
     return m.min(axis=0).astype(np.uint32)
 
 
@@ -207,31 +315,53 @@ def minhash_batch(
     ne_starts = starts_all[ne_idx]
     ne_counts = eff_counts[ne_idx]
 
-    # block over documents so the uint64 intermediate stays bounded
+    # block over documents so the (shingles x S) float64 intermediate stays
+    # bounded; each block is one BLAS matmul set + carry chain + reduceat
+    a_lim, b_lim = _prep_coeff_limbs(a, b)
     rows_per_block = max(1, BLOCK_ELEMS // s)
-    doc_pos = 0
-    while doc_pos < ne_idx.shape[0]:
-        # grow the doc window until shingle rows exceed the block budget
-        end = doc_pos
-        rows = 0
-        while end < ne_idx.shape[0] and (rows == 0 or rows + ne_counts[end] <= rows_per_block):
-            rows += int(ne_counts[end])
-            end += 1
+    # precompute block boundaries (consecutive docs until budget exceeded)
+    block_bounds = [0]
+    rows = 0
+    for idx in range(ne_idx.shape[0]):
+        cnt = int(ne_counts[idx])
+        if rows > 0 and rows + cnt > rows_per_block:
+            block_bounds.append(idx)
+            rows = 0
+        rows += cnt
+    block_bounds.append(ne_idx.shape[0])
+    max_rows = min(rows_per_block, int(h.shape[0]))
+    if len(block_bounds) > 2:
+        max_rows = max(
+            int(
+                (ne_starts[block_bounds[i + 1] - 1] + ne_counts[block_bounds[i + 1] - 1])
+                - ne_starts[block_bounds[i]]
+            )
+            for i in range(len(block_bounds) - 1)
+            if block_bounds[i] < block_bounds[i + 1]
+        )
+    scratch = _MulShiftScratch(max_rows, s)
+    for bi in range(len(block_bounds) - 1):
+        doc_pos, end = block_bounds[bi], block_bounds[bi + 1]
+        if doc_pos >= end:
+            continue
         lo = int(ne_starts[doc_pos])
         hi = int(ne_starts[end - 1] + ne_counts[end - 1])
-        hblk = h[lo:hi]
-        with np.errstate(over="ignore"):
-            m = (hblk[:, None] * a[None, :] + b[None, :]) >> np.uint64(32)
+        n_rows = hi - lo
+        if n_rows > scratch.max_rows:  # lone doc larger than the block budget
+            scratch = _MulShiftScratch(n_rows, s)
+        m = _mulshift_high32(h[lo:hi], a_lim, b_lim, scratch)
+        m32 = scratch.m32[:n_rows]
         if w is not None:
             dv = divisor[lo:hi]
-            vals = np.fmod(m.astype(np.float64) / dv[:, None], U32_MAX_F)
-            m32 = vals.astype(np.uint32)
+            fw = scratch.fw[:n_rows]
+            np.divide(m, dv[:, None], out=fw)
+            np.fmod(fw, U32_MAX_F, out=fw)
+            np.copyto(m32, fw, casting="unsafe")  # trunc toward zero (>=0)
         else:
-            m32 = m.astype(np.uint32)
+            np.copyto(m32, m, casting="unsafe")
         local_starts = (ne_starts[doc_pos:end] - lo).astype(np.intp)
         reduced = np.minimum.reduceat(m32, local_starts, axis=0)
         out[ne_idx[doc_pos:end]] = reduced
-        doc_pos = end
     return out
 
 

@@ -42,6 +42,7 @@ from lexis_minhash_spark import kernels as K
 SIGNATURE_STRUCT = StructType(
     [
         StructField("sig", BinaryType(), False),
+        StructField("sig_arr", ArrayType(IntegerType(), False), False),
         StructField("bands", ArrayType(LongType(), False), False),
         StructField("is_zero", BooleanType(), False),
         StructField("n_shingles", IntegerType(), False),
@@ -91,9 +92,11 @@ def _compute_batch(
     band_mat = K.band_hashes_batch(sig_mat, cfg.num_bands, cfg.rows_per_band)
     band_signed = band_mat.view(np.int64)
     sig_le = np.ascontiguousarray(sig_mat, dtype="<u4")
+    sig_i32 = sig_mat.view(np.int32)  # signed reinterpret: equality-safe
     return pd.DataFrame(
         {
             "sig": [sig_le[i].tobytes() for i in range(n)],
+            "sig_arr": list(sig_i32),
             "bands": list(band_signed),
             "is_zero": ~ok,
             "n_shingles": counts_full.astype(np.int32),
@@ -130,6 +133,7 @@ def with_signatures(
         .select(
             F.col(id_col),
             F.col("_s.sig").alias("sig"),
+            F.col("_s.sig_arr").alias("sig_arr"),
             F.col("_s.bands").alias("bands"),
             F.col("_s.is_zero").alias("is_zero"),
             F.col("_s.n_shingles").alias("n_shingles"),
@@ -248,7 +252,24 @@ def verified_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """candidates × signatures → pairs with similarity >= threshold
-    (find_similar_pairs verify step, index.cr:208-212)."""
+    (find_similar_pairs verify step, index.cr:208-212).
+
+    Stays entirely JVM-side: the S1 equality fraction runs as a codegen'd
+    ``zip_with``/``aggregate`` over the int32 signature arrays — no Arrow
+    round-trip in the verify join (the pandas-UDF variant measured worse
+    and anti-scaled with cores)."""
+    if "sig_arr" in sig_df.columns:
+        from lexis_minhash_spark.functions.similarity import sig_similarity_expr
+
+        sa = sig_df.select(F.col(id_col).alias("a"), F.col("sig_arr").alias("sig_a"))
+        sb = sig_df.select(F.col(id_col).alias("b"), F.col("sig_arr").alias("sig_b"))
+        return (
+            cand_df.join(sa, "a")
+            .join(sb, "b")
+            .withColumn("similarity", sig_similarity_expr("sig_a", "sig_b"))
+            .where(F.col("similarity") >= F.lit(threshold))
+            .select("a", "b", "similarity")
+        )
     sim = similarity_udf_binary()
     sa = sig_df.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
     sb = sig_df.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
@@ -264,14 +285,26 @@ def verified_pairs(
 def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
+    driver_threshold: int | None = 2_000_000,
 ) -> DataFrame:
-    """Min-label propagation over the verified-pair edge list → clusters
-    (cluster_id = min reachable doc id).  Each iteration localCheckpoints to
-    cut lineage; near-dup clusters are near-cliques so convergence is fast.
+    """Connected components over the verified-pair edge list → clusters
+    (cluster_id = min reachable doc id).
+
+    Two physical strategies:
+    - edge count ≤ ``driver_threshold``: collect and union-find on the
+      driver (near-dup edge lists are tiny relative to the corpus — at 10^12
+      clips with ~1% dup pairs this threshold still falls back correctly;
+      per-iteration Spark stage overhead would dominate otherwise)
+    - else: distributed min-label propagation, localCheckpoint per iteration
+      to cut lineage; near-dup clusters are near-cliques so few iterations.
 
     Input: edges(a, b). Output: (doc_id, cluster_id) for every node that
     appears in an edge (singletons are their own cluster by definition and
     are added by the caller via a left join)."""
+    if driver_threshold is not None:
+        n_edges = edges.limit(driver_threshold + 1).count()
+        if n_edges <= driver_threshold:
+            return _cc_driver(edges)
     nodes = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select(F.col("b").alias("node")))
@@ -298,6 +331,34 @@ def connected_components(
         if changed == 0:
             break
     return comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+
+
+def _cc_driver(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find (path-halving) for small edge sets."""
+    spark = edges.sparkSession
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    # single collect round-trip (toLocalIterator issues one job per
+    # partition — measured as a serial bottleneck in the scaling bench)
+    for a, bb in edges.select("a", "b").toPandas().itertuples(index=False):
+        ra, rb = find(a), find(bb)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(int(x), int(find(x))) for x in parent]
+    schema = StructType(
+        [
+            StructField("doc_id", edges.schema["a"].dataType, False),
+            StructField("cluster_id", edges.schema["a"].dataType, False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def clusters_with_singletons(

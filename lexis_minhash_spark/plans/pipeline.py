@@ -122,7 +122,11 @@ class DedupPipeline:
         bands = self._run_stage("bands", lambda: ops.bands_table(sig))
         cands = self._run_stage(
             "candidates",
-            lambda: ops.candidate_pairs(bands, max_bucket_size=self.max_bucket_size),
+            lambda: (
+                ops.candidate_pairs_grouped(bands, max_bucket_size=self.max_bucket_size)
+                if self.max_bucket_size is not None
+                else ops.candidate_pairs(bands)
+            ),
         )
         verified = self._run_stage(
             "verified", lambda: ops.verified_pairs(cands, sig, self.threshold)

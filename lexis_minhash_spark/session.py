@@ -22,6 +22,10 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # one python worker per core already; nested BLAS threading inside the
+    # pandas-UDF kernels only oversubscribes (workers inherit driver env)
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")

@@ -66,6 +66,7 @@ def generate_clips(
     seed: int = 42,
     dup_fraction: float = 0.3,
     mutation_rate: float = 0.10,
+    with_audio: bool = True,
 ) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Returns (clips, truth_clusters) pandas frames.
 
@@ -85,7 +86,7 @@ def generate_clips(
         base_words = _sentence(rng, int(rng.integers(8, 40)))
         sr_hz = int(rng.choice([16000, 16000, 16000, 8000, 44100]))
         dur_ms = int(rng.integers(500, 3000))
-        base_pcm = _tone(rng, sr_hz, dur_ms)
+        base_pcm = _tone(rng, sr_hz, dur_ms) if with_audio else None
         cluster_id = f"cluster_{cluster_seq:06d}"
         cluster_seq += 1
         for j in range(size):
@@ -95,14 +96,19 @@ def generate_clips(
                 pcm = base_pcm
             else:
                 words = _mutate(rng, base_words, mutation_rate)
-                # perturb audio at ~46 dB SNR (well above the 30 dB invariant)
-                noise = rng.normal(0, 0.005, base_pcm.shape[0]) * np.abs(base_pcm).mean()
-                pcm = np.clip(base_pcm + noise, -0.99, 0.99)
-            samples = (pcm * 32767.0).astype(np.int16)
+                if with_audio:
+                    # perturb audio at ~46 dB SNR (well above the 30 dB invariant)
+                    noise = rng.normal(0, 0.005, base_pcm.shape[0]) * np.abs(base_pcm).mean()
+                    pcm = np.clip(base_pcm + noise, -0.99, 0.99)
+            blob = (
+                pcm16_to_wav((pcm * 32767.0).astype(np.int16), sr_hz)
+                if with_audio
+                else b""
+            )
             rows.append(
                 {
                     "clip_id": clip_id,
-                    "bytes": pcm16_to_wav(samples, sr_hz),
+                    "bytes": blob,
                     "sr_hz": sr_hz,
                     "dur_ms": dur_ms,
                     "codec": "pcm_s16le",

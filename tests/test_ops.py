@@ -87,10 +87,15 @@ class TestPairsAndClusters:
         g = {(r.a, r.b) for r in ops.candidate_pairs_grouped(bands).collect()}
         assert j == g
 
-    def test_clusters(self, spark, sig_df):
+    @pytest.mark.parametrize("driver_threshold", [2_000_000, None])
+    def test_clusters(self, spark, sig_df, driver_threshold):
+        # both physical strategies: driver union-find and distributed
+        # min-label propagation must agree with the oracle
         bands = ops.bands_table(sig_df)
         ver = ops.verified_pairs(ops.candidate_pairs(bands), sig_df, 0.75)
-        cc = ops.connected_components(ver.select("a", "b"))
+        cc = ops.connected_components(
+            ver.select("a", "b"), driver_threshold=driver_threshold
+        )
         cl = ops.clusters_with_singletons(sig_df, cc)
         got = {r.doc_id: r.cluster_id for r in cl.collect()}
         exp_cc = O.oracle_connected_components(self._oracle_pairs())
