@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the near-duplicate clustering pipeline.
+
+Cluster usage (the --py-files contract from BASELINE.json north_rule):
+
+    scripts/make_pyfiles.sh                       # -> dist/lexis_minhash_spark.zip
+    spark-submit --py-files dist/lexis_minhash_spark.zip \
+        jobs/dedup_job.py \
+        --input  <warehouse>/clips            \
+        --workdir <warehouse>/dedup_run_001   \
+        --text-col transcript --id-col clip_id \
+        --seed 12345 --threshold 0.75
+
+The job is resumable: re-submitting with the same --workdir skips completed
+stages (plans/pipeline.py checkpoint protocol) and appends per-stage
+metrics + lineage.  On a real cluster, point --input at an Iceberg table
+path and the workdir at an object-store prefix; the stage protocol is
+storage-agnostic.
+
+Local smoke run:
+    python jobs/dedup_job.py --input /root/testdata/sf0.001/documents.parquet \
+        --workdir /tmp/dedup_smoke --text-col text --id-col doc_id
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+
+def build_session(args) -> SparkSession:
+    """On a cluster, spark-submit provides master/executors; locally fall
+    back to the session factory defaults."""
+    try:
+        from lexis_minhash_spark.session import get_spark
+    except ImportError:
+        raise SystemExit(
+            "lexis_minhash_spark not importable — pass it via "
+            "--py-files dist/lexis_minhash_spark.zip"
+        )
+    if args.local:
+        return get_spark(app_name="lexis-dedup", master=args.local)
+    builder = SparkSession.builder.appName("lexis-dedup")
+    builder = builder.config("spark.sql.adaptive.enabled", "true")
+    builder = builder.config("spark.sql.adaptive.skewJoin.enabled", "true")
+    return builder.getOrCreate()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet/Iceberg path of the corpus")
+    ap.add_argument("--workdir", required=True, help="checkpoint prefix for stage tables")
+    ap.add_argument("--text-col", default="transcript")
+    ap.add_argument("--id-col", default="clip_id")
+    ap.add_argument("--seed", type=int, default=12345)
+    ap.add_argument("--signature-size", type=int, default=100)
+    ap.add_argument("--num-bands", type=int, default=20)
+    ap.add_argument("--shingle-size", type=int, default=5)
+    ap.add_argument("--min-words", type=int, default=4)
+    ap.add_argument("--threshold", type=float, default=0.75)
+    ap.add_argument("--max-bucket-size", type=int, default=10_000)
+    ap.add_argument("--min-parallelism", type=int, default=0,
+                    help="repartition the input if it has fewer partitions")
+    ap.add_argument("--local", default=None, help="local[N] master for smoke runs")
+    args = ap.parse_args()
+
+    spark = build_session(args)
+    spark.sparkContext.setLogLevel("WARN")
+    from lexis_minhash_spark.config import EngineConfig
+    from lexis_minhash_spark.plans.pipeline import DedupPipeline
+
+    cfg = EngineConfig(
+        signature_size=args.signature_size,
+        num_bands=args.num_bands,
+        shingle_size=args.shingle_size,
+        min_words=args.min_words,
+        seed=args.seed,
+    )
+    docs = spark.read.parquet(args.input)
+    if args.min_parallelism:
+        if docs.rdd.getNumPartitions() < args.min_parallelism:
+            docs = docs.repartition(args.min_parallelism)
+    pipe = DedupPipeline(
+        spark, cfg, args.workdir,
+        threshold=args.threshold,
+        max_bucket_size=args.max_bucket_size,
+        input_desc=args.input,
+    )
+    clusters = pipe.run(docs, text_col=args.text_col, id_col=args.id_col)
+    n = clusters.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    print(json.dumps({
+        "rows": n,
+        "clusters": n_clusters,
+        "stages": [
+            {"stage": r.name, "rows": r.rows, "wall_ms": r.wall_ms, "skipped": r.skipped}
+            for r in pipe.results
+        ],
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,102 @@
+"""Structured Streaming incremental ingest (extension).
+
+The reference's only stream-ish behavior is incremental ``LSHIndex#add``
+(index.cr:114-122); real-time updates are an explicit non-goal of the
+reference (openspec design doc).  For the 100 TB pipeline we still want
+continuous ingest: new clips land in the input table, signatures/bands
+append incrementally, and periodic batch jobs re-run candidate generation
+over fresh bands only.
+
+This module provides the streaming signature stage:
+
+    stream = readStream(new clips) → signature UDF → append signatures sink
+
+Candidate generation against the accumulated bands table stays a batch job
+(foreachBatch or scheduled), because LSH pair generation is a self-join —
+stream-stream self-joins with unbounded state are the wrong tool; the
+reference semantics (query-at-add-time) are preserved by the
+``foreach_batch_candidates`` helper which joins each micro-batch's bands
+against the full accumulated bands table (new-vs-all, the incremental
+equivalent of index.cr:195-217).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from lexis_minhash_spark.config import EngineConfig
+from lexis_minhash_spark import ops
+
+
+def stream_signatures(
+    spark: SparkSession,
+    input_path: str,
+    cfg: EngineConfig,
+    schema: str = "doc_id long, text string",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """readStream over a parquet directory → signature columns.
+    Returns the streaming DataFrame (caller attaches the sink)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+    return ops.with_signatures(stream, cfg, text_col=text_col, id_col=id_col)
+
+
+def start_signature_sink(
+    sig_stream: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Append the streaming signatures to a parquet sink with exactly-once
+    checkpointing (restart-safe: Structured Streaming replays unfinished
+    micro-batches from the checkpoint)."""
+    writer = (
+        sig_stream.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def foreach_batch_candidates(
+    accumulated_bands_path: str,
+    pairs_out_path: str,
+    threshold_bands: int = 1,
+):
+    """foreachBatch hook: for each micro-batch of new signatures, emit
+    candidate pairs (new doc, existing doc) by joining the batch's bands
+    against the accumulated bands table — the incremental new-vs-all
+    equivalent of the batch self-join."""
+
+    def _fn(batch_sig: DataFrame, batch_id: int) -> None:
+        spark = batch_sig.sparkSession
+        new_bands = ops.bands_table(batch_sig)
+        try:
+            old_bands = spark.read.parquet(accumulated_bands_path)
+        except Exception:
+            old_bands = None
+        if old_bands is not None:
+            pairs = (
+                new_bands.alias("n")
+                .join(old_bands.alias("o"), ["band_idx", "band_hash"])
+                .where(F.col("n.doc_id") != F.col("o.doc_id"))
+                .select(
+                    F.least("n.doc_id", "o.doc_id").alias("a"),
+                    F.greatest("n.doc_id", "o.doc_id").alias("b"),
+                )
+                .distinct()
+            )
+            pairs.write.mode("append").parquet(pairs_out_path)
+        new_bands.write.mode("append").parquet(accumulated_bands_path)
+
+    return _fn

@@ -1,0 +1,113 @@
+"""spark-submit job entry + Structured Streaming incremental ingest."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lexis_minhash_spark.config import EngineConfig
+from lexis_minhash_spark import oracle as O
+from lexis_minhash_spark import ops
+from lexis_minhash_spark.streaming import incremental
+
+CFG = EngineConfig(seed=12345)
+
+
+class TestDedupJob:
+    def test_cli_end_to_end_and_resume(self, tmp_path):
+        workdir = str(tmp_path / "run1")
+        cmd = [
+            sys.executable, "jobs/dedup_job.py",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--workdir", workdir,
+            "--text-col", "text", "--id-col", "doc_id",
+            "--local", "local[4]",
+        ]
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=600, cwd="/root/repo")
+        assert out.returncode == 0, out.stderr[-2000:]
+        line = [l for l in out.stdout.splitlines() if l.strip().startswith("{")][-1]
+        res = json.loads(line)
+        assert res["rows"] == 500
+        assert all(not s["skipped"] for s in res["stages"])
+        # resubmit: all stages skip, same result
+        out2 = subprocess.run(cmd, capture_output=True, text=True, timeout=600, cwd="/root/repo")
+        assert out2.returncode == 0, out2.stderr[-2000:]
+        res2 = json.loads([l for l in out2.stdout.splitlines() if l.strip().startswith("{")][-1])
+        assert res2["rows"] == res["rows"] and res2["clusters"] == res["clusters"]
+        assert all(s["skipped"] for s in res2["stages"])
+
+    def test_pyfiles_zip_builds(self, tmp_path):
+        out = subprocess.run(
+            ["sh", "scripts/make_pyfiles.sh"], capture_output=True, text=True,
+            timeout=120, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr
+        import zipfile
+
+        with zipfile.ZipFile("/root/repo/dist/lexis_minhash_spark.zip") as z:
+            names = z.namelist()
+        assert "lexis_minhash_spark/ops.py" in names
+        assert "lexis_minhash_spark/kernels.py" in names
+
+
+class TestStreamingIngest:
+    def test_incremental_signatures_match_batch(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        docs1 = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "apple banana orange fruit salad recipe with apple")],
+            "doc_id long, text string",
+        )
+        docs1.write.mode("append").parquet(src)
+        sig_stream = incremental.stream_signatures(spark, src, CFG)
+        q = incremental.start_signature_sink(sig_stream, sink, ckpt)
+        q.awaitTermination(120)
+
+        # second batch of files → restart stream; checkpoint resumes
+        docs2 = spark.createDataFrame(
+            [(3, "completely unrelated cooking about pasta and sauce")],
+            "doc_id long, text string",
+        )
+        docs2.write.mode("append").parquet(src)
+        q2 = incremental.start_signature_sink(
+            incremental.stream_signatures(spark, src, CFG), sink, ckpt
+        )
+        q2.awaitTermination(120)
+
+        got = spark.read.parquet(sink)
+        assert got.count() == 3  # exactly-once: no reprocessing of batch 1
+        ao, bo = O.oracle_coefficients(12345, 100)
+        rows = {r.doc_id: r for r in got.collect()}
+        all_docs = {**{r.doc_id: r.text for r in docs1.collect()},
+                    **{r.doc_id: r.text for r in docs2.collect()}}
+        for d, text in all_docs.items():
+            exp = O.oracle_signature(text, ao, bo, 5, 4)
+            assert np.frombuffer(rows[d].sig, dtype="<u4").tolist() == exp
+
+    def test_foreach_batch_candidates(self, spark, tmp_path):
+        bands_acc = str(tmp_path / "bands_acc")
+        pairs_out = str(tmp_path / "pairs")
+        fn = incremental.foreach_batch_candidates(bands_acc, pairs_out)
+        b1 = ops.with_signatures(
+            spark.createDataFrame(
+                [(1, "apple banana orange fruit salad recipe with apple and banana")],
+                "doc_id long, text string",
+            ),
+            CFG,
+        )
+        fn(b1, 0)
+        b2 = ops.with_signatures(
+            spark.createDataFrame(
+                [(2, "apple banana orange fruit salad recipe with apple and banana")],
+                "doc_id long, text string",
+            ),
+            CFG,
+        )
+        fn(b2, 1)
+        pairs = {(r.a, r.b) for r in spark.read.parquet(pairs_out).collect()}
+        assert pairs == {(1, 2)}
