@@ -163,11 +163,17 @@ def _q_fingerprint(spark, sf_dir):
     return with_fingerprint(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
 
 
+# weighted-MinHash fixture: weights >= 1 or < 0 only, so the DuckDB oracle
+# avoids the ln(1+w) branch (1-ulp libm-vs-numpy divergence risk); the
+# 0 < w < 1 log branch is covered by pytest against the scalar oracle
+WEIGHTED_FIXTURE = {"the q": 2.0, "quick": 2.0, "brown": 3.0, "data ": 3.0, "query": -1.0}
+
+
 def _q_weighted_signature_slots(spark, sf_dir):
-    # weighted MinHash (K7/K8) with a fixed weight map; rows-only check
+    # weighted MinHash (K7/K8) with a fixed weight map
     from lexis_minhash_spark import kernels as K
 
-    weights = {"the q": 2.0, "quick": 2.0, "brown": 0.5, "data ": 3.0, "query": 0.25}
+    weights = WEIGHTED_FIXTURE
     hashed = {K.shingle_hash_for(k): v for k, v in weights.items()}
     sig = ops.with_signatures(
         _docs(spark, sf_dir).where(SLOT_SCOPE), CFG, weights_hashed=hashed
@@ -184,6 +190,75 @@ def _q_suffix_matches(spark, sf_dir):
     return exact_substring_matches(
         _docs(spark, sf_dir), cc, min_len=20, group_col="cluster_id"
     ).select("a", "b", "common_len")
+
+
+def _q_overlap_pairs(spark, sf_dir):
+    # S2/S3 overlap coefficient + spec'd exact Jaccard over distinct char
+    # 5-gram sets, for consecutive doc pairs (relational micro-surface)
+    from lexis_minhash_spark.functions.similarity import (
+        char_shingles_expr,
+        jaccard_expr,
+        overlap_expr,
+    )
+
+    docs = _docs(spark, sf_dir).where(SLOT_SCOPE)
+    g = docs.select("doc_id", char_shingles_expr("text", 5).alias("grams"))
+    a = g.select(F.col("doc_id").alias("a"), F.col("grams").alias("ga"))
+    b = g.select((F.col("doc_id") - 1).alias("a"), F.col("grams").alias("gb"))
+    return (
+        a.join(b, "a")
+        .select(
+            F.col("a").alias("doc_id"),
+            F.round(overlap_expr("ga", "gb"), 6).alias("overlap"),
+            F.round(jaccard_expr("ga", "gb"), 6).alias("jaccard"),
+        )
+    )
+
+
+def _q_weighted_overlap_pairs(spark, sf_dir):
+    # S4 weighted overlap between word-frequency vectors of consecutive docs:
+    # Σ min(ca, cb) over shared words / min(Σca, Σcb) — relational form
+    docs = _docs(spark, sf_dir).where(SLOT_SCOPE)
+    words = docs.select(
+        "doc_id",
+        F.explode(F.expr("split(trim(lower(text)), '\\\\s+')")).alias("w"),
+    ).where(F.length("w") > 0)
+    counts = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("doc_id").agg(F.sum("c").alias("total"))
+    ca = counts.select(F.col("doc_id").alias("a"), "w", F.col("c").alias("cx"))
+    cb = counts.select((F.col("doc_id") - 1).alias("a"), "w", F.col("c").alias("cy"))
+    inter = (
+        ca.join(cb, ["a", "w"])
+        .groupBy("a")
+        .agg(F.sum(F.least("cx", "cy")).alias("inter"))
+    )
+    ta = totals.select(F.col("doc_id").alias("a"), F.col("total").alias("tx"))
+    tb = totals.select((F.col("doc_id") - 1).alias("a"), F.col("total").alias("ty"))
+    return (
+        ta.join(tb, "a")
+        .join(inter, "a", "left")
+        .select(
+            F.col("a").alias("doc_id"),
+            F.round(
+                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+                / F.least("tx", "ty").cast("double"),
+                6,
+            ).alias("weighted_overlap"),
+        )
+    )
+
+
+def _q_shared_bands_pairs(spark, sf_dir):
+    # spec'd shared_bands operator (positional equal band hashes) between
+    # consecutive docs
+    from lexis_minhash_spark.functions.similarity import shared_bands_expr
+
+    sig = _sigs(spark, sf_dir).where(F.expr(SLOT_SCOPE)).where(~F.col("is_zero"))
+    a = sig.select(F.col("doc_id").alias("a"), F.col("bands").alias("ba"))
+    b = sig.select((F.col("doc_id") - 1).alias("a"), F.col("bands").alias("bb"))
+    return a.join(b, "a").select(
+        F.col("a").alias("doc_id"), shared_bands_expr("ba", "bb").alias("shared_bands")
+    )
 
 
 def _q_query_scored(spark, sf_dir):
@@ -217,6 +292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": _q_langid,
         "doc_fingerprint": _q_fingerprint,
         "weighted_signature_slots": _q_weighted_signature_slots,
+        "overlap_pairs": _q_overlap_pairs,
+        "weighted_overlap_pairs": _q_weighted_overlap_pairs,
+        "shared_bands_pairs": _q_shared_bands_pairs,
         "suffix_matches": _q_suffix_matches,
         "query_with_scores": _q_query_scored,
     }
@@ -331,6 +409,60 @@ def _embedding_pairs_sql() -> str:
     WHERE CASE WHEN {na} * {nb} = 0 THEN 0.0 ELSE {dot} / ({na} * {nb}) END >= {COSINE_THRESHOLD}"""
 
 
+def _overlap_pairs_sql() -> str:
+    norm = "trim(lower(text))"
+    grams = (
+        f"list_distinct(list_transform(range(1, length({norm}) - 3),"
+        f" i -> substring({norm}, i::INT, 5)))"
+    )
+    return f"""
+    WITH g AS (
+      SELECT doc_id, {grams} AS grams FROM documents WHERE {SLOT_SCOPE}
+    )
+    SELECT a.doc_id AS doc_id,
+      round(CASE WHEN len(a.grams) = 0 OR len(b.grams) = 0 THEN 0.0
+            ELSE len(list_intersect(a.grams, b.grams))::DOUBLE
+                 / least(len(a.grams), len(b.grams)) END, 6) AS overlap,
+      round(CASE WHEN len(a.grams) + len(b.grams) = 0 THEN 0.0
+            ELSE len(list_intersect(a.grams, b.grams))::DOUBLE
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) END, 6) AS jaccard
+    FROM g a JOIN g b ON b.doc_id = a.doc_id + 1"""
+
+
+def _weighted_overlap_pairs_sql() -> str:
+    return f"""
+    WITH words AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE {SLOT_SCOPE}
+    ),
+    counts AS (
+      SELECT doc_id, w, count(*) AS c FROM words WHERE length(w) > 0 GROUP BY doc_id, w
+    ),
+    totals AS (SELECT doc_id, sum(c) AS total FROM counts GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, sum(least(x.c, y.c)) AS i
+      FROM counts x JOIN counts y ON y.doc_id = x.doc_id + 1 AND y.w = x.w
+      GROUP BY x.doc_id
+    )
+    SELECT ta.doc_id AS doc_id,
+           round(coalesce(i.i, 0)::DOUBLE / least(ta.total, tb.total)::DOUBLE, 6) AS weighted_overlap
+    FROM totals ta
+    JOIN totals tb ON tb.doc_id = ta.doc_id + 1
+    LEFT JOIN inter i ON i.a = ta.doc_id"""
+
+
+def _shared_bands_pairs_sql() -> str:
+    return f"""WITH {D.coeff_cte(CFG)},
+  {D.gated_docs_cte(CFG, "documents", SLOT_SCOPE)},
+  {D.shingles_cte(CFG)},
+  {D.signatures_cte()},
+  {D.bands_cte(CFG)}
+  SELECT x.doc_id AS doc_id,
+         sum(CASE WHEN x.band_hash = y.band_hash THEN 1 ELSE 0 END)::INT AS shared_bands
+  FROM bands x JOIN bands y ON y.doc_id = x.doc_id + 1 AND y.band_idx = x.band_idx
+  GROUP BY x.doc_id ORDER BY x.doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "zero_sig_gate": _zero_sig_gate_sql(),
@@ -347,8 +479,14 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": _token_counts_sql(),
         "doc_quality": _quality_sql(),
         "langid": _langid_sql(),
+        "weighted_signature_slots": D.weighted_signature_slots_sql(
+            CFG, WEIGHTED_FIXTURE, where=SLOT_SCOPE
+        ),
+        "overlap_pairs": _overlap_pairs_sql(),
+        "weighted_overlap_pairs": _weighted_overlap_pairs_sql(),
+        "shared_bands_pairs": _shared_bands_pairs_sql(),
         # rows-only (non-SQL-expressible): simhash_pairs (popcount join),
         # embedding_ann_pairs (random hyperplanes), doc_fingerprint (u64
-        # rolling min), weighted_signature_slots (float weighted minhash),
-        # suffix_matches (suffix array), query_with_scores (probe bands)
+        # rolling min), suffix_matches (suffix array), query_with_scores
+        # (probe bands)
     }

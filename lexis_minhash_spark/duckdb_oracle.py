@@ -167,6 +167,56 @@ def verified_pairs_sql(
   FROM verified WHERE similarity >= {threshold} ORDER BY a, b"""
 
 
+def weighted_signature_slots_sql(
+    cfg: EngineConfig,
+    weights: dict[str, float],
+    table: str = "documents",
+    where: str = "TRUE",
+) -> str:
+    """(doc_id, i, value) weighted-MinHash slots (engine.cr:203-228).
+
+    Weighted update: eff = max(w, 0); skip eff <= 0; divisor = ln(1+eff) if
+    eff < 1 else eff; value = trunc(fmod(h32/divisor, 4294967295.0)).
+
+    ORACLE CONSTRAINT: only use fixture weights >= 1.0 or < 0 here — the
+    eff < 1 branch takes ln(1+eff), and NumPy's vectorized log can differ
+    from DuckDB's libm log by 1 ulp (the < 1 branch is covered by pytest
+    against the scalar Python oracle instead).  default_weight must be 1.0.
+    """
+    assert cfg.default_weight == 1.0
+    assert all(w >= 1.0 or w < 0.0 for w in weights.values())
+    k = cfg.shingle_size
+    wrows = ", ".join(
+        f"('{s}', {float(w)}::DOUBLE)" for s, w in sorted(weights.items())
+    )
+    return f"""WITH {coeff_cte(cfg)},
+  {gated_docs_cte(cfg, table, where)},
+  wmap(shingle, w) AS (VALUES {wrows}),
+  shingles AS (
+    SELECT doc_id,
+           list_reduce(
+             list_transform(range(0, {k}), j -> ascii(substring(norm, (i + j)::INT, 1))),
+             (x, y) -> x * 31 + y
+           )::HUGEINT AS h,
+           substring(norm, i::INT, {k}) AS s
+    FROM gated, UNNEST(range(1, length(norm) - {k - 2})) AS t(i)
+  ),
+  weighted AS (
+    SELECT doc_id, h, greatest(coalesce(w, 1.0), 0.0) AS eff
+    FROM shingles LEFT JOIN wmap ON shingles.s = wmap.shingle
+  ),
+  sigs AS (
+    SELECT wd.doc_id, c.i,
+           min(CAST(floor(fmod(
+                 (((c.a * wd.h + c.b) % {U64}::HUGEINT) // {U32}::HUGEINT)::DOUBLE / wd.eff,
+                 4294967295.0)) AS BIGINT)) AS value
+    FROM weighted wd CROSS JOIN coeff c
+    WHERE wd.eff > 0.0
+    GROUP BY wd.doc_id, c.i
+  )
+  SELECT doc_id, i, value FROM sigs ORDER BY doc_id, i"""
+
+
 def simhash_sql(cfg: EngineConfig, table: str = "documents", where: str = "TRUE") -> str:
     """(doc_id, simhash) — Charikar simhash over the same shingle stream,
     recomputed in SQL via per-bit sign sums.  Valid because k=5 ASCII shingle
