@@ -1,0 +1,116 @@
+"""Physical-plan quality gates — the 100 TB design assertions.
+
+These tests pin the *shape* of the executed plans, not timings:
+- parquet scans prune columns (never read `text` when only ids are needed)
+- filters reach the scan (PushedFilters)
+- the verify stage is whole-stage-codegen SQL (no ArrowEvalPython)
+- the signature stage is exactly ONE ArrowEvalPython pass
+- grouped candidate generation shuffles the bands table exactly once
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from lexis_minhash_spark.config import EngineConfig
+from lexis_minhash_spark import ops
+
+CFG = EngineConfig(seed=12345)
+DOCS_PATH = "/root/testdata/sf0.001/documents.parquet"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS_PATH)
+
+
+class TestScanPruning:
+    def test_column_pruning_reaches_scan(self, spark, docs):
+        # selecting ids off the signature stage must not read `lang`/`source`
+        sig = ops.with_signatures(docs, CFG).select("doc_id", "is_zero")
+        plan = plan_of(sig)
+        m = re.search(r"ReadSchema: ([^\n]*)", plan)
+        assert m, plan
+        assert "lang" not in m.group(1) and "source" not in m.group(1)
+
+    def test_filter_pushdown_reaches_scan(self, spark, docs):
+        df = docs.where(F.col("doc_id") < 100).select("doc_id")
+        plan = plan_of(df)
+        assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]" in plan or (
+            "LessThan(doc_id,100)" in plan
+        ), plan
+
+
+class TestStagePlans:
+    def test_signature_stage_single_arrow_pass(self, spark, docs):
+        sig = ops.with_signatures(docs, CFG)
+        plan = plan_of(sig)
+        assert plan.count("ArrowEvalPython") == 1, plan
+
+    def test_verify_stage_is_pure_sql(self, spark, docs):
+        sig = ops.with_signatures(docs, CFG)
+        cands = ops.candidate_pairs_grouped(ops.bands_table(sig), max_bucket_size=1000)
+        ver = ops.verified_pairs(cands, sig, 0.75)
+        plan = plan_of(ver)
+        # exactly the signature UDF evaluations (cands side + two sig joins
+        # recompute signatures since nothing is cached here), but the
+        # similarity predicate itself must be codegen SQL: no BatchEvalPython
+        # (row-at-a-time) anywhere, and no Arrow node introduced by verify
+        assert "BatchEvalPython" not in plan
+        sig_cached = sig.cache()
+        try:
+            sig_cached.count()
+            ver2 = ops.verified_pairs(
+                ops.candidate_pairs_grouped(ops.bands_table(sig_cached), max_bucket_size=1000),
+                sig_cached,
+                0.75,
+            )
+            plan2 = plan_of(ver2)
+            # every ArrowEvalPython in the plan is cached lineage (printed
+            # under an InMemoryRelation) — verify itself adds no Python node
+            assert plan2.count("ArrowEvalPython") == plan2.count("InMemoryRelation"), plan2
+            assert "BatchEvalPython" not in plan2
+        finally:
+            sig_cached.unpersist()
+
+    def test_grouped_candidates_single_shuffle_of_bands(self, spark, docs):
+        sig = ops.with_signatures(docs, CFG).cache()
+        try:
+            bands = ops.bands_table(sig)
+            cands = ops.candidate_pairs_grouped(bands, max_bucket_size=1000)
+            plan = plan_of(cands)
+            # one exchange for the groupBy(band), one for the final distinct —
+            # but NOT two scans/shuffles of the bands table (the self-join
+            # variant shuffles bands twice)
+            n_exchanges = plan.count("Exchange hashpartitioning")
+            assert n_exchanges <= 2, plan
+        finally:
+            sig.unpersist()
+
+    def test_query_uses_broadcast_join(self, spark, docs):
+        sig = ops.with_signatures(docs, CFG).cache()
+        try:
+            bands = ops.bands_table(sig)
+            q = ops.query_candidates(
+                spark, [(0, "the quick brown fox jumps over it")], bands, CFG
+            )
+            plan = plan_of(q)
+            assert "BroadcastHashJoin" in plan, plan
+        finally:
+            sig.unpersist()
+
+    def test_exact_dedup_partial_aggregation(self, spark, docs):
+        from lexis_minhash_spark.operators.dedup import exact_duplicate_groups
+
+        plan = plan_of(exact_duplicate_groups(docs))
+        # map-side partial agg before the shuffle (HashAggregate x2)
+        assert plan.count("HashAggregate") >= 2, plan
