@@ -7,8 +7,11 @@ oracle_sql()   — DuckDB twins.  The MinHash/LSH stages are checked
                  SQL that recomputes shingle hashes, multiply-shift
                  signatures (HUGEINT mod-2^64), band folds, candidate
                  pairs, verified pairs, and clusters from the raw parquet.
-                 Genuinely non-SQL ops (suffix-array, hyperplane ANN,
-                 audio UDFs, weighted minhash) are rows-only.
+                 Weighted MinHash, simhash fingerprints, and the
+                 overlap/Jaccard/weighted-overlap/shared-bands micro
+                 operators also have SQL oracles.  Genuinely non-SQL ops
+                 (suffix-array, hyperplane ANN, popcount pair join, u64
+                 fingerprint, probe-band query) are rows-only.
 """
 
 from __future__ import annotations

@@ -183,8 +183,35 @@ def _u64_limbs16(x: np.ndarray, axis_new: int) -> np.ndarray:
     return out
 
 
-def _prep_coeff_limbs(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    return _u64_limbs16(a, 0), _u64_limbs16(b, 0)  # (4, S) each
+def _prep_coeff_limbs(a: np.ndarray, b: np.ndarray):
+    """Precompute the fused coefficient matrices for _mulshift_high32.
+
+    Derivation (see _mulshift_high32): with 16-bit limbs a_j / h_i / b_m and
+    column sums L_k = Σ_{i+j=k} h_i a_j + b_k, the high 32 bits of
+    (a*h + b) mod 2^64 are
+
+        H = (L2 + 2^16·L3 + floor((L0 + 2^16·L1) / 2^32)) mod 2^32
+
+    and both L0 + 2^16·L1 and L2 + 2^16·L3 are single matmuls against
+    fixed coefficient matrices:
+
+        L0 + 2^16·L1 = [h0, 2^16·h1] @ [[a0 + 2^16·a1], [a0]] + (b0 + 2^16·b1)
+        L2 + 2^16·L3 = [h0, h1, h2, 2^16·h3]
+                        @ [[a2 + 2^16·a3], [a1 + 2^16·a2], [a0 + 2^16·a1], [a0]]
+                        + (b2 + 2^16·b3)
+
+    Every partial sum stays < 2^51 << 2^53 → float64-exact.
+    """
+    al = _u64_limbs16(a, 0)  # (4, S)
+    bl = _u64_limbs16(b, 0)
+    two16 = 65536.0
+    ca = np.stack([al[0] + two16 * al[1], al[0]])  # (2, S)
+    cz = np.stack(
+        [al[2] + two16 * al[3], al[1] + two16 * al[2], al[0] + two16 * al[1], al[0]]
+    )  # (4, S)
+    by = bl[0] + two16 * bl[1]  # (S,)
+    bz = bl[2] + two16 * bl[3]
+    return ca, cz, by, bz
 
 
 class _MulShiftScratch:
@@ -195,57 +222,56 @@ class _MulShiftScratch:
     def __init__(self, max_rows: int, s: int):
         self.max_rows = max_rows
         self.h_lim = np.empty((max_rows, 4), dtype=np.float64)
-        self.L = [np.empty((max_rows, s), dtype=np.float64) for _ in range(4)]
+        self.hA = np.empty((max_rows, 2), dtype=np.float64)
+        self.Y = np.empty((max_rows, s), dtype=np.float64)
+        self.Z = np.empty((max_rows, s), dtype=np.float64)
         self.m32 = np.empty((max_rows, s), dtype=np.uint32)
         self.fw = np.empty((max_rows, s), dtype=np.float64)
 
 
 def _mulshift_high32(
     h: np.ndarray,
-    a_lim: np.ndarray,
-    b_lim: np.ndarray,
+    coeffs,
     scratch: _MulShiftScratch | None = None,
 ) -> np.ndarray:
     """``((a*h + b) mod 2^64) >> 32`` for all (shingle, hash-fn) pairs →
     float64[n, S] with integer values in [0, 2^32).  Returns a view into
     ``scratch`` when provided — consume before the next call.
 
-    Exact 16-bit-limb schoolbook multiply in float64 (every partial column
-    sum < 2^35 << 2^53; divisions/mods are by powers of two, hence exact),
-    with the cross-limb products as BLAS matmuls.  This replaces the naive
-    uint64 path because x86 lacks SIMD 64-bit multiply and NumPy's u64 ``*``
-    is ~100x slower than float64 on the target hosts; values are
-    bit-identical (cross-checked against the u64 path in tests)."""
+    Exact 16-bit-limb float64 arithmetic (see _prep_coeff_limbs for the
+    fused two-matmul derivation; every intermediate < 2^51 << 2^53, all
+    divisions by powers of two → exact).  Replaces the naive uint64 path
+    because x86 lacks SIMD 64-bit multiply and NumPy's u64 ``*`` is ~100x
+    slower than float64 on the target hosts; bit-identical values
+    (cross-checked against the u64 path and the scalar oracle in tests)."""
+    ca, cz, by, bz = coeffs
     n = int(h.shape[0])
-    s = a_lim.shape[1]
+    s = ca.shape[1]
     if scratch is None or scratch.max_rows < n:
         scratch = _MulShiftScratch(n, s)
+    two16, inv32, two32 = 65536.0, 2.0**-32, 4294967296.0
     # 16-bit limbs via zero-copy little-endian view
     h_lim = scratch.h_lim[:n]
     np.copyto(h_lim, np.ascontiguousarray(h).view(np.uint16).reshape(n, 4))
-    L0, L1, L2, L3 = (buf[:n] for buf in scratch.L)
-    # column sums L_k = Σ_{i+j=k} h_i * a_j + b_k  (weight 2^(16k); k>3
-    # columns only affect bits >= 64, dropped by mod 2^64)
-    for k, Lk in enumerate((L0, L1, L2, L3)):
-        np.matmul(h_lim[:, : k + 1], a_lim[k::-1, :], out=Lk)
-        Lk += b_lim[k]
-    inv16, two16 = 1.0 / 65536.0, 65536.0
-    # carry chain, all in-place (c lives in L0 after its limb is consumed)
-    np.multiply(L0, inv16, out=L0)
-    np.floor(L0, out=L0)          # c1
-    L1 += L0                      # t1
-    np.multiply(L1, inv16, out=L0)
-    np.floor(L0, out=L0)          # c2
-    L2 += L0                      # t2
-    np.multiply(L2, inv16, out=L0)
-    np.floor(L0, out=L0)          # c3
-    L3 += L0                      # t3
-    np.multiply(L0, two16, out=L0)
-    np.subtract(L2, L0, out=L2)   # d2 = t2 - c3*2^16
-    np.fmod(L3, two16, out=L3)    # d3
-    np.multiply(L3, two16, out=L3)
-    np.add(L2, L3, out=L2)        # H = d2 + 2^16 * d3
-    return L2
+    hA = scratch.hA[:n]
+    hA[:, 0] = h_lim[:, 0]
+    np.multiply(h_lim[:, 1], two16, out=hA[:, 1])
+    Y, Z = scratch.Y[:n], scratch.Z[:n]
+    # Y = L0 + 2^16*L1 ; carry into bit 32 is floor(Y / 2^32)
+    np.matmul(hA, ca, out=Y)
+    Y += by
+    np.multiply(Y, inv32, out=Y)
+    np.floor(Y, out=Y)            # c2
+    # Z = L2 + 2^16*L3 + c2 ; H = Z mod 2^32
+    h_lim[:, 3] *= two16          # [h0, h1, h2, 2^16*h3]
+    np.matmul(h_lim, cz, out=Z)
+    Z += bz
+    Z += Y
+    np.multiply(Z, inv32, out=Y)
+    np.floor(Y, out=Y)
+    np.multiply(Y, two32, out=Y)
+    np.subtract(Z, Y, out=Z)      # H
+    return Z
 
 
 def minhash_from_hashes(
@@ -258,8 +284,8 @@ def minhash_from_hashes(
     s = a.shape[0]
     if h64.size == 0:
         return np.full(s, _U32_FULL, dtype=np.uint32)
-    a_lim, b_lim = _prep_coeff_limbs(a, b)
-    m = _mulshift_high32(h64.astype(np.uint64), a_lim, b_lim)
+    coeffs = _prep_coeff_limbs(a, b)
+    m = _mulshift_high32(h64.astype(np.uint64), coeffs)
     return m.min(axis=0).astype(np.uint32)
 
 
@@ -317,7 +343,7 @@ def minhash_batch(
 
     # block over documents so the (shingles x S) float64 intermediate stays
     # bounded; each block is one BLAS matmul set + carry chain + reduceat
-    a_lim, b_lim = _prep_coeff_limbs(a, b)
+    coeffs = _prep_coeff_limbs(a, b)
     rows_per_block = max(1, BLOCK_ELEMS // s)
     # precompute block boundaries (consecutive docs until budget exceeded)
     block_bounds = [0]
@@ -349,7 +375,7 @@ def minhash_batch(
         n_rows = hi - lo
         if n_rows > scratch.max_rows:  # lone doc larger than the block budget
             scratch = _MulShiftScratch(n_rows, s)
-        m = _mulshift_high32(h[lo:hi], a_lim, b_lim, scratch)
+        m = _mulshift_high32(h[lo:hi], coeffs, scratch)
         m32 = scratch.m32[:n_rows]
         if w is not None:
             dv = divisor[lo:hi]
