@@ -1,9 +1,13 @@
 """DataFrame stage builders + Arrow pandas-UDF wrappers around kernels.py.
 
 The reference's LSHIndex (index.cr) becomes plain DataFrames:
-  signatures(doc_id, sig: binary, bands: array<long>, is_zero, n_shingles)
+  signatures(doc_id, sig: binary, sig_arr: array<int>, bands: array<long>,
+             is_zero, n_shingles)
   bands(doc_id, band_idx: int, band_hash: long)       -- posexplode
-and its operations become joins/aggregations (SURVEY.md §2.3).
+``sig`` is the canonical little-endian blob (interchangeable with the
+reference, serialize.cr); ``sig_arr`` is the signed-int32 reinterpret used
+by the pure-SQL verify join (equality-safe, keeps verification JVM-side).
+The index's operations become joins/aggregations (SURVEY.md §2.3).
 
 Scale notes (100 TB design point):
 - signature computation is one Arrow round-trip per batch; all hashing is
@@ -351,11 +355,23 @@ def _cc_driver(edges: DataFrame) -> DataFrame:
         if ra != rb:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    rows = [(int(x), int(find(x))) for x in parent]
+    id_type = edges.schema["a"].dataType
+    if isinstance(id_type, LongType):
+        # Arrow fast path (row-tuple createDataFrame is serial-slow at 100k+)
+        result = pd.DataFrame(
+            {
+                "doc_id": np.fromiter(parent.keys(), dtype=np.int64, count=len(parent)),
+                "cluster_id": np.fromiter(
+                    (find(x) for x in parent), dtype=np.int64, count=len(parent)
+                ),
+            }
+        )
+        return spark.createDataFrame(result)
+    rows = [(x, find(x)) for x in parent]
     schema = StructType(
         [
-            StructField("doc_id", edges.schema["a"].dataType, False),
-            StructField("cluster_id", edges.schema["a"].dataType, False),
+            StructField("doc_id", id_type, False),
+            StructField("cluster_id", id_type, False),
         ]
     )
     return spark.createDataFrame(rows, schema)

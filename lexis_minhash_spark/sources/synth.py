@@ -19,13 +19,28 @@ import pandas as pd
 
 from lexis_minhash_spark.sources.audio import pcm16_to_wav
 
-VOCAB = (
-    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
-    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
-    "xray yankee zulu amber birch cedar dune ember flint grove harbor inlet "
-    "jasper knoll ledge marsh nectar orchid pond quarry ridge slate thicket "
-    "umber vale willow yarrow zephyr basil clover dahlia elm fennel"
-).split()
+def _build_vocab(n_words: int = 4000) -> tuple[str, ...]:
+    """Deterministic synthetic vocabulary. A realistic corpus has thousands
+    of distinct tokens; a tiny vocabulary makes 5-gram shingles collide
+    across UNRELATED documents, which degenerates LSH buckets
+    super-linearly with corpus size (observed: candidate pairs between
+    non-duplicates dominated the 250k-clip bench with a 56-word vocab)."""
+    onsets = ["b", "br", "c", "ch", "d", "dr", "f", "fl", "g", "gr", "h", "j",
+              "k", "kl", "l", "m", "n", "p", "pr", "qu", "r", "s", "st", "t",
+              "tr", "v", "w", "z"]
+    nuclei = ["a", "e", "i", "o", "u", "ai", "ea", "io", "ou", "ae"]
+    codas = ["", "n", "r", "l", "s", "t", "m", "nd", "rk", "st", "x", "ph"]
+    words = []
+    for o in onsets:
+        for nu in nuclei:
+            for c in codas:
+                words.append(o + nu + c)
+                if len(words) >= n_words:
+                    return tuple(words)
+    return tuple(words)
+
+
+VOCAB = _build_vocab()
 
 
 def _sentence(rng: np.random.Generator, n_words: int) -> list[str]:
