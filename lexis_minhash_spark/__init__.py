@@ -11,7 +11,7 @@ DataFrame/SQL so Catalyst/AQE pick physical plans that survive 100 TB.
 """
 
 from lexis_minhash_spark.config import DEFAULT_CONFIG, EngineConfig
-from lexis_minhash_spark import kernels
+from lexis_minhash_spark import api, kernels
 
-__all__ = ["DEFAULT_CONFIG", "EngineConfig", "kernels"]
+__all__ = ["DEFAULT_CONFIG", "EngineConfig", "api", "kernels"]
 __version__ = "0.1.0"

@@ -69,6 +69,10 @@ class EngineConfig:
     min_words: int = MIN_WORDS
     default_weight: float = DEFAULT_WEIGHT
     seed: int = 12345
+    # spec'd-but-unimplemented-in-reference configurable stop words
+    # (openspec/specs/configurable-engine/spec.md:31-43): tokens removed from
+    # the normalized text BEFORE the gates and shingling; default off.
+    stop_words: tuple = ()
     # derived / generated — set in __post_init__
     rows_per_band: int = field(init=False, default=0)
 
@@ -99,6 +103,7 @@ class EngineConfig:
             "min_words": self.min_words,
             "default_weight": self.default_weight,
             "seed": self.seed,
+            "stop_words": list(self.stop_words),
         }
 
     def config_hash(self) -> str:

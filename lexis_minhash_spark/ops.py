@@ -65,6 +65,11 @@ def _compute_batch(
     s = cfg.signature_size
     raw = texts.fillna("").astype(str)
     norm = raw.str.lower().str.strip()
+    if cfg.stop_words:
+        # spec'd configurable stop words: drop stopword tokens before the
+        # gates and shingling (openspec/specs/configurable-engine/spec.md)
+        sw = set(cfg.stop_words)
+        norm = norm.map(lambda s: " ".join(t for t in s.split(" ") if t not in sw))
     # gates, vectorized (engine/signature.cr:13-16)
     nonempty = norm.str.len() > 0
     word_ok = (norm.str.count(r"\s+") + 1) >= cfg.min_words
