@@ -304,8 +304,12 @@ def connected_components(
       driver (near-dup edge lists are tiny relative to the corpus — at 10^12
       clips with ~1% dup pairs this threshold still falls back correctly;
       per-iteration Spark stage overhead would dominate otherwise)
-    - else: distributed min-label propagation, localCheckpoint per iteration
-      to cut lineage; near-dup clusters are near-cliques so few iterations.
+    - else: distributed alternating large-star/small-star (Kiveris et al.
+      SoCC'14; operators/cc.py) — O(log^2 n) rounds worst case,
+      localCheckpoint per round.
+
+    ``max_iter`` only applies to the legacy min-label propagation kept in
+    ``_cc_propagation`` for cross-checks.
 
     Input: edges(a, b). Output: (doc_id, cluster_id) for every node that
     appears in an edge (singletons are their own cluster by definition and
@@ -314,6 +318,17 @@ def connected_components(
         n_edges = edges.limit(driver_threshold + 1).count()
         if n_edges <= driver_threshold:
             return _cc_driver(edges)
+    from lexis_minhash_spark.operators.cc import large_star_small_star
+
+    return large_star_small_star(edges.select("a", "b"))
+
+
+def _cc_propagation(
+    edges: DataFrame,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Legacy distributed strategy: min-label propagation (O(diameter)
+    rounds). Kept for cross-checking the LS/SS implementation."""
     nodes = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select(F.col("b").alias("node")))

@@ -1,0 +1,48 @@
+"""Large-star/small-star connected components vs union-find oracle."""
+
+import random
+
+import pytest
+
+from lexis_minhash_spark.operators.cc import large_star_small_star
+from lexis_minhash_spark import oracle as O
+
+
+def _random_graph(seed: int, n_nodes: int, n_edges: int) -> set[tuple[int, int]]:
+    rng = random.Random(seed)
+    edges = set()
+    nodes = rng.sample(range(n_nodes * 10), n_nodes)
+    for _ in range(n_edges):
+        a, b = rng.sample(nodes, 2)
+        edges.add((min(a, b), max(a, b)))
+    return edges
+
+
+class TestLargeStarSmallStar:
+    @pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 50, 60), (2, 200, 150), (3, 100, 400)])
+    def test_matches_union_find(self, spark, seed, n_nodes, n_edges):
+        edges = _random_graph(seed, n_nodes, n_edges)
+        df = spark.createDataFrame(sorted(edges), "a long, b long")
+        got = {r.doc_id: r.cluster_id for r in large_star_small_star(df).collect()}
+        exp = O.oracle_connected_components(edges)
+        nodes = {x for e in edges for x in e}
+        assert set(got) == nodes
+        for n in nodes:
+            assert got[n] == exp.get(n, n), n
+
+    def test_chain_graph(self, spark):
+        # path graph: worst case for naive propagation, fine for LS/SS
+        edges = [(i, i + 1) for i in range(0, 60)]
+        df = spark.createDataFrame(edges, "a long, b long")
+        got = {r.doc_id: r.cluster_id for r in large_star_small_star(df).collect()}
+        assert all(v == 0 for v in got.values())
+        assert len(got) == 61
+
+    def test_two_components_and_selfloops(self, spark):
+        df = spark.createDataFrame(
+            [(5, 1), (1, 3), (10, 12), (7, 7)], "a long, b long"
+        )
+        got = {r.doc_id: r.cluster_id for r in large_star_small_star(df).collect()}
+        assert got[1] == got[3] == got[5] == 1
+        assert got[10] == got[12] == 10
+        assert 7 not in got  # self-loop dropped; caller treats as singleton
