@@ -22,7 +22,22 @@ file sizes and lets compaction run per shard.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _drop_table(spark: SparkSession, table: str) -> None:
+    """Idempotent drop: remove both the catalog entry and any orphaned
+    managed-table location (a fresh session's in-memory catalog does not
+    know about a previous session's warehouse directory, and saveAsTable
+    refuses to reuse the location — LOCATION_ALREADY_EXISTS)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    path = os.path.join(warehouse.removeprefix("file:"), table.split(".")[-1])
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def write_signatures_table(
@@ -31,6 +46,7 @@ def write_signatures_table(
     n_shards: int = 64,
     n_buckets: int = 64,
 ) -> None:
+    _drop_table(sig_df.sparkSession, table)
     (
         sig_df.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int"))
         .write.mode("overwrite")
@@ -47,6 +63,7 @@ def write_bands_table(
     table: str = "lexis_bands",
     n_buckets: int = 64,
 ) -> None:
+    _drop_table(bands_df.sparkSession, table)
     (
         bands_df.write.mode("overwrite")
         .bucketBy(n_buckets, "band_hash")
