@@ -476,6 +476,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_clusters": D.clusters_sql(CFG, THRESHOLD),
         "band_load_factors": D.band_load_factors_sql(CFG),
         "simhash_fingerprints": D.simhash_sql(CFG),
+        "simhash_pairs": D.simhash_pairs_sql(CFG, max_hamming=3),
         "exact_dup_groups": _exact_dup_sql(),
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),
         "embedding_cosine_pairs": _embedding_pairs_sql(),
@@ -488,8 +489,7 @@ def oracle_sql() -> dict[str, str]:
         "overlap_pairs": _overlap_pairs_sql(),
         "weighted_overlap_pairs": _weighted_overlap_pairs_sql(),
         "shared_bands_pairs": _shared_bands_pairs_sql(),
-        # rows-only (non-SQL-expressible): simhash_pairs (popcount join),
-        # embedding_ann_pairs (random hyperplanes), doc_fingerprint (u64
-        # rolling min), suffix_matches (suffix array), query_with_scores
-        # (probe bands)
+        # rows-only (non-SQL-expressible): embedding_ann_pairs (random
+        # hyperplanes), doc_fingerprint (u64 rolling min), suffix_matches
+        # (suffix array), query_with_scores (probe bands)
     }

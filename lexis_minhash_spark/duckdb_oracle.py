@@ -218,25 +218,73 @@ def weighted_signature_slots_sql(
 
 
 def simhash_sql(cfg: EngineConfig, table: str = "documents", where: str = "TRUE") -> str:
-    """(doc_id, simhash) — Charikar simhash over the same shingle stream,
-    recomputed in SQL via per-bit sign sums.  Valid because k=5 ASCII shingle
-    hashes are < 2^31, so BIGINT bit ops suffice (module docstring)."""
+    """(doc_id, simhash) — Charikar simhash over the mixed shingle stream,
+    recomputed in SQL via per-bit sign sums.
+
+    Mirrors kernels._simhash_mix: each shingle hash is spread to 64 bits
+    with two fixed multiply-shift draws (HUGEINT mod-2^64 arithmetic);
+    bit j<32 comes from the second draw (lo), bit j>=32 from the first (hi).
+    """
+    from lexis_minhash_spark.config import seeded_coefficients
+    from lexis_minhash_spark.kernels import SIMHASH_MIX_SEED
+
+    a, b = seeded_coefficients(SIMHASH_MIX_SEED, 2)
+    a1, a2, b1, b2 = int(a[0]), int(a[1]), int(b[0]), int(b[1])
+    msh = (
+        lambda ai, bi: f"((({ai}::HUGEINT * h + {bi}::HUGEINT) % {U64}::HUGEINT)"
+        f" // {U32}::HUGEINT)::BIGINT"
+    )
     return f"""WITH {gated_docs_cte(cfg, table, where)},
   {shingles_cte(cfg)},
+  mixed AS (
+    SELECT doc_id, {msh(a1, b1)} AS m_hi, {msh(a2, b2)} AS m_lo FROM shingles
+  ),
   bits AS (
     SELECT doc_id, j,
-           sum(CASE WHEN ((h::BIGINT >> j::INT) & 1) = 1 THEN 1 ELSE -1 END) AS acc
-    FROM shingles, UNNEST(range(0, 64)) AS t(j)
+           sum(CASE WHEN j < 32
+                    THEN (m_lo >> j::INT) & 1
+                    ELSE (m_hi >> (j::INT - 32)) & 1
+               END * 2 - 1) AS acc
+    FROM mixed, UNNEST(range(0, 64)) AS t(j)
     GROUP BY doc_id, j
   ),
-  fp AS (
-    SELECT doc_id, sum(CASE WHEN acc > 0 THEN (1::BIGINT << j::INT) ELSE 0 END) AS simhash
+  fp_u AS (
+    SELECT doc_id,
+           sum(CASE WHEN acc > 0 THEN (1::HUGEINT << j::INT) ELSE 0::HUGEINT END) AS u
     FROM bits GROUP BY doc_id
+  ),
+  fp AS (
+    SELECT doc_id,
+           CASE WHEN u >= {U63}::HUGEINT THEN (u - {U64}::HUGEINT)::BIGINT
+                ELSE u::BIGINT END AS simhash
+    FROM fp_u
   )
   SELECT d.doc_id, coalesce(f.simhash, 0)::BIGINT AS simhash
   FROM (SELECT doc_id FROM {table} WHERE {where}) d
   LEFT JOIN fp f ON f.doc_id = d.doc_id
   ORDER BY d.doc_id"""
+
+
+def simhash_pairs_sql(
+    cfg: EngineConfig,
+    max_hamming: int = 3,
+    table: str = "documents",
+    where: str = "TRUE",
+) -> str:
+    """(a, b, hamming) — all pairs within Hamming distance ``max_hamming``
+    over the simhash fingerprints, via brute-force popcount (the Spark side
+    uses the Manku block join, which by pigeonhole finds every pair at
+    hamming <= num_blocks - 1, so the result sets are identical for
+    max_hamming <= 3 with 4 blocks)."""
+    assert max_hamming <= 3, "block-join completeness only guaranteed to 3"
+    inner = simhash_sql(cfg, table, where)
+    return f"""WITH fps AS ({inner})
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         bit_count(xor(x.simhash, y.simhash))::INT AS hamming
+  FROM fps x JOIN fps y ON x.doc_id < y.doc_id
+  WHERE x.simhash <> 0 AND y.simhash <> 0
+    AND bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+  ORDER BY a, b"""
 
 
 def band_load_factors_sql(cfg: EngineConfig, table: str = "documents", where: str = "TRUE") -> str:

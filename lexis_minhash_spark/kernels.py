@@ -500,23 +500,44 @@ def bytes_to_signature(blob: bytes) -> np.ndarray:
 # SimHash extension (north star; Charikar 2002 / Manku et al. WWW'07)
 # ---------------------------------------------------------------------------
 
+# Shingle hashes from k=5 ASCII text only occupy the low ~31 bits of the
+# u64 (poly sum < 2^31), which would leave simhash bits 31..63 constant —
+# two of the four Hamming blocks identical across ALL documents, turning
+# the block candidate join into an all-pairs join.  The hashes are
+# therefore mixed to full 64-bit entropy with two fixed multiply-shift
+# draws (the same exact-limb kernel as MinHash):
+#   mixed = (msh(a1,b1,h) << 32) | msh(a2,b2,h)
+SIMHASH_MIX_SEED = 0x53494D48  # 'SIMH'
+
+
+def _simhash_mix(h64: np.ndarray) -> np.ndarray:
+    from lexis_minhash_spark.config import seeded_coefficients
+
+    a, b = seeded_coefficients(SIMHASH_MIX_SEED, 2)
+    coeffs = _prep_coeff_limbs(a, b)
+    m = _mulshift_high32(np.ascontiguousarray(h64, dtype=np.uint64), coeffs)
+    hi = m[:, 0].astype(np.uint64)
+    lo = m[:, 1].astype(np.uint64)
+    return (hi << np.uint64(32)) | lo
+
+
 def simhash_from_hashes(
     h64: np.ndarray, weights: np.ndarray | None = None
 ) -> int:
     """64-bit Charikar simhash of a shingle-hash stream.
 
     bit_j(fp) = 1 iff Σ_shingles (±w) > 0, where the sign is bit j of the
-    shingle hash.  Empty stream → 0.
+    MIXED shingle hash (see _simhash_mix).  Empty stream → 0.
     """
     if h64.size == 0:
         return 0
-    bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    mixed = _simhash_mix(h64)
+    bits = ((mixed[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
     signs = 2 * bits - 1
     if weights is not None:
         acc = (signs * weights[:, None]).sum(axis=0)
     else:
         acc = signs.sum(axis=0)
-    fp = np.uint64(0)
     with np.errstate(over="ignore"):
         bitvals = (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
     return int(bitvals.sum(dtype=np.uint64))
@@ -530,12 +551,13 @@ def simhash_batch(
     out = np.zeros(n_docs, dtype=np.uint64)
     if hashes_concat.size == 0:
         return out
+    mixed = _simhash_mix(hashes_concat)
     nonempty = counts > 0
     starts_all = np.concatenate(([0], np.cumsum(counts)[:-1]))
     ne_idx = np.nonzero(nonempty)[0]
     signs = (
         2
-        * ((hashes_concat[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
+        * ((mixed[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
         - 1
     )
     sums = np.add.reduceat(signs, starts_all[ne_idx].astype(np.intp), axis=0)

@@ -94,9 +94,14 @@ def simhash_candidate_pairs(
     """Hamming-near pairs: split each fingerprint into ``num_blocks`` 16-bit
     block keys; docs within Hamming distance ``num_blocks - 1`` share at
     least one block (pigeonhole).  Equi-join per block, then exact popcount
-    filter JVM-side via bit_count(xor).  Returns (a, b, hamming)."""
+    filter JVM-side via bit_count(xor).  Returns (a, b, hamming).
+
+    Zero fingerprints (gated-out/empty docs) are quarantined — they would
+    all pair with each other at distance 0 and form the hottest block
+    buckets (same rationale as the zero-signature quarantine)."""
     width = 64 // num_blocks
     mask = (1 << width) - 1
+    sim_df = sim_df.where(F.col("simhash") != 0)
     blocks = sim_df.select(
         F.col(id_col),
         F.col("simhash"),

@@ -102,9 +102,14 @@ class TestDedup:
             "doc_id long, text string",
         )
         sim = dedup.with_simhash(df, CFG)
-        pairs = dedup.simhash_candidate_pairs(sim, max_hamming=10).collect()
+        # near-dup transcripts land at hamming ~10-15 on full-entropy
+        # 64-bit fingerprints; 16 blocks guarantee recall to distance 15
+        pairs = dedup.simhash_candidate_pairs(
+            sim, num_blocks=16, max_hamming=15
+        ).collect()
         got = {(r.a, r.b) for r in pairs}
         assert (1, 2) in got
+        assert (1, 3) not in got and (2, 3) not in got
 
     def test_embedding_cosine_pairs_and_topk(self, spark):
         df = spark.createDataFrame(
