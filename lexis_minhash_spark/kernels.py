@@ -319,6 +319,21 @@ def minhash_batch(
     h = hashes_concat
     w = weights_concat
     eff_counts = counts.astype(np.int64)
+    if w is None and h.size:
+        # min-reduce is idempotent in the unweighted path (the slot value is
+        # a pure function of the shingle hash), so duplicate shingles within
+        # a document are dropped before the expensive multiply-shift.
+        # Repetitive corpora measure up to ~30% duplicates; the lexsort is
+        # ~2% of kernel time.  NOT valid for the weighted paths: a caller
+        # may supply different weights for equal hashes (from-hashes API).
+        doc_ids = np.repeat(np.arange(n_docs), eff_counts)
+        order = np.lexsort((h, doc_ids))
+        h_s, d_s = h[order], doc_ids[order]
+        uniq = np.empty(h_s.shape[0], dtype=bool)
+        uniq[0] = True
+        np.logical_or(h_s[1:] != h_s[:-1], d_s[1:] != d_s[:-1], out=uniq[1:])
+        h = h_s[uniq]
+        eff_counts = np.bincount(d_s[uniq], minlength=n_docs).astype(np.int64)
     if w is not None:
         # drop non-positive weights (engine.cr:175-177)
         w_eff = np.maximum(w, 0.0)
