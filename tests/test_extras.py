@@ -182,6 +182,23 @@ class TestTextStats:
         assert rows[1] == rows[2] != rows[3]
 
 
+def _brute_lcs(t1: str, t2: str) -> int:
+    """O(n·m) DP longest-common-substring length — the pytest oracle."""
+    n, m = len(t1), len(t2)
+    prev = [0] * (m + 1)
+    best = 0
+    for i in range(1, n + 1):
+        cur = [0] * (m + 1)
+        c1 = t1[i - 1]
+        for j in range(1, m + 1):
+            if c1 == t2[j - 1]:
+                cur[j] = prev[j - 1] + 1
+                if cur[j] > best:
+                    best = cur[j]
+        prev = cur
+    return best
+
+
 class TestSuffixArray:
     def test_exact_substring_matches(self, spark):
         docs = spark.createDataFrame(
@@ -204,3 +221,82 @@ class TestSuffixArray:
         docs = spark.createDataFrame([(1, "abc def ghi jkl")], "doc_id long, text string")
         groups = spark.createDataFrame([(1, 5)], "doc_id long, cluster_id long")
         assert suffix.exact_substring_matches(docs, groups, min_len=3).count() == 0
+
+    def test_exact_duplicates_clamped_at_doc_boundary(self, spark):
+        # regression: identical docs must report common_len == len(doc), with
+        # no separator bleed-through into neighbouring documents
+        text = "hello world abc"  # 15 chars
+        docs = spark.createDataFrame(
+            [(1, text), (2, text), (3, text)], "doc_id long, text string"
+        )
+        groups = spark.createDataFrame(
+            [(1, 9), (2, 9), (3, 9)], "doc_id long, cluster_id long"
+        )
+        m = suffix.exact_substring_matches(docs, groups, min_len=5, emit_substring=True).collect()
+        assert {(r.a, r.b) for r in m} == {(1, 2), (1, 3), (2, 3)}
+        for r in m:
+            assert r.common_len == len(text)
+            assert r.substring == text
+            assert "\x00" not in r.substring
+
+    def test_shared_suffix_fixture(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "xx common tail here"), (2, "yy common tail here")],
+            "doc_id long, text string",
+        )
+        groups = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, cluster_id long")
+        m = suffix.exact_substring_matches(docs, groups, min_len=5, emit_substring=True).collect()
+        assert len(m) == 1
+        assert m[0].common_len == len(" common tail here")
+        assert m[0].substring == " common tail here"
+
+    def test_matches_equal_brute_force_lcs(self):
+        # kernel-level randomized oracle (no Spark): every doc pair's
+        # common_len equals the true longest-common-substring length
+        import itertools
+        import random
+
+        import pandas as pd
+
+        from lexis_minhash_spark.operators.suffix import _group_matches
+
+        rng = random.Random(7)
+        for _ in range(25):
+            texts = [
+                "".join(rng.choice("ab ") for _ in range(rng.randint(5, 40)))
+                for _ in range(rng.randint(2, 5))
+            ]
+            pdf = pd.DataFrame({"doc_id": range(1, len(texts) + 1), "text": texts})
+            out = _group_matches(pdf, 3, True, 10**7, 512)
+            got = {(r.a, r.b): (r.common_len, r.substring) for r in out.itertuples()}
+            for x, y in itertools.combinations(range(len(texts)), 2):
+                expect = _brute_lcs(texts[x], texts[y])
+                key = (x + 1, y + 1)
+                if expect >= 3:
+                    assert key in got and got[key][0] == expect, (texts, key)
+                    assert got[key][1] in texts[x] and got[key][1] in texts[y]
+                else:
+                    assert key not in got
+
+    def test_suffix_array_kernel(self):
+        # prefix-doubling SA + binary-lifting LCP vs naive constructions
+        import random
+
+        from lexis_minhash_spark.operators.suffix import build_suffix_array, lcp_pairs
+
+        rng = random.Random(3)
+        for _ in range(15):
+            s = "".join(rng.choice("abc\x00") for _ in range(rng.randint(1, 60)))
+            codes = np.frombuffer(s.encode("utf-32-le"), dtype="<u4")
+            sa, levels = build_suffix_array(codes)
+            assert list(sa) == sorted(range(len(s)), key=lambda i: s[i:])
+            n = len(s)
+            ii = np.array([rng.randrange(n) for _ in range(10)])
+            jj = np.array([rng.randrange(n) for _ in range(10)])
+            for a, b, g in zip(ii, jj, lcp_pairs(levels, n, ii, jj)):
+                k = 0
+                while a + k < n and b + k < n and s[a + k] == s[b + k]:
+                    k += 1
+                # overshoot is only permitted when both suffixes are
+                # identical to end-of-string (clamped away by callers)
+                assert g == k or s[a:] == s[b:]
