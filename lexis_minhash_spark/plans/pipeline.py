@@ -119,22 +119,24 @@ class DedupPipeline:
         sig = self._run_stage(
             "signatures", lambda: ops.with_signatures(docs, self.cfg, text_col, id_col)
         )
-        bands = self._run_stage("bands", lambda: ops.bands_table(sig))
+        bands = self._run_stage("bands", lambda: ops.bands_table(sig, id_col=id_col))
         cands = self._run_stage(
             "candidates",
             lambda: (
-                ops.candidate_pairs_grouped(bands, max_bucket_size=self.max_bucket_size)
+                ops.candidate_pairs_grouped(
+                    bands, id_col=id_col, max_bucket_size=self.max_bucket_size
+                )
                 if self.max_bucket_size is not None
-                else ops.candidate_pairs(bands)
+                else ops.candidate_pairs(bands, id_col=id_col)
             ),
         )
         verified = self._run_stage(
-            "verified", lambda: ops.verified_pairs(cands, sig, self.threshold)
+            "verified", lambda: ops.verified_pairs(cands, sig, self.threshold, id_col=id_col)
         )
         clusters = self._run_stage(
             "clusters",
             lambda: ops.clusters_with_singletons(
-                sig, ops.connected_components(verified.select("a", "b"))
+                sig, ops.connected_components(verified.select("a", "b")), id_col=id_col
             ),
         )
         return clusters

@@ -74,29 +74,34 @@ def foreach_batch_candidates(
     threshold_bands: int = 1,
 ):
     """foreachBatch hook: for each micro-batch of new signatures, emit
-    candidate pairs (new doc, existing doc) by joining the batch's bands
-    against the accumulated bands table — the incremental new-vs-all
-    equivalent of the batch self-join."""
+    candidate pairs by joining the batch's bands against the union of the
+    accumulated bands table AND the batch's own bands — the incremental
+    equivalent of the reference's query-at-add-time semantics
+    (index.cr:114-163).  Joining new-vs-(old ∪ new) is what makes two
+    near-duplicates arriving in the *same* micro-batch pair up; new-vs-old
+    alone silently drops them."""
 
     def _fn(batch_sig: DataFrame, batch_id: int) -> None:
         spark = batch_sig.sparkSession
+        batch_sig = batch_sig.persist()
         new_bands = ops.bands_table(batch_sig)
         try:
             old_bands = spark.read.parquet(accumulated_bands_path)
         except Exception:
             old_bands = None
-        if old_bands is not None:
-            pairs = (
-                new_bands.alias("n")
-                .join(old_bands.alias("o"), ["band_idx", "band_hash"])
-                .where(F.col("n.doc_id") != F.col("o.doc_id"))
-                .select(
-                    F.least("n.doc_id", "o.doc_id").alias("a"),
-                    F.greatest("n.doc_id", "o.doc_id").alias("b"),
-                )
-                .distinct()
+        target = new_bands if old_bands is None else new_bands.unionByName(old_bands)
+        pairs = (
+            new_bands.alias("n")
+            .join(target.alias("o"), ["band_idx", "band_hash"])
+            .where(F.col("n.doc_id") != F.col("o.doc_id"))
+            .select(
+                F.least("n.doc_id", "o.doc_id").alias("a"),
+                F.greatest("n.doc_id", "o.doc_id").alias("b"),
             )
-            pairs.write.mode("append").parquet(pairs_out_path)
+            .distinct()
+        )
+        pairs.write.mode("append").parquet(pairs_out_path)
         new_bands.write.mode("append").parquet(accumulated_bands_path)
+        batch_sig.unpersist()
 
     return _fn

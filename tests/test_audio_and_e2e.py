@@ -164,3 +164,20 @@ class TestCheckpointResume:
         # metrics + lineage written
         stages = [m["stage"] for m in p2.metrics()]
         assert "signatures" in stages and "clusters" in stages
+
+    def test_pipeline_with_non_default_id_col(self, spark, tmp_path):
+        # regression: id_col must thread through bands/verified/clusters
+        # (jobs/dedup_job.py defaults to --id-col clip_id)
+        workdir = str(tmp_path / "ckpt_clip")
+        docs = spark.createDataFrame(
+            [
+                (11, "apple banana orange fruit salad recipe with apple and banana"),
+                (12, "apple banana orange fruit salad recipe with apple and banana"),
+                (13, "completely unrelated cooking about pasta and sauce"),
+            ],
+            "clip_id long, transcript string",
+        )
+        p = DedupPipeline(spark, CFG, workdir, input_desc="clips")
+        cl = p.run(docs, text_col="transcript", id_col="clip_id")
+        res = {r.doc_id: r.cluster_id for r in cl.collect()}
+        assert res == {11: 11, 12: 11, 13: 13}

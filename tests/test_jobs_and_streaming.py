@@ -111,3 +111,36 @@ class TestStreamingIngest:
         fn(b2, 1)
         pairs = {(r.a, r.b) for r in spark.read.parquet(pairs_out).collect()}
         assert pairs == {(1, 2)}
+
+    def test_foreach_batch_pairs_within_one_microbatch(self, spark, tmp_path):
+        # regression: two near-duplicates arriving in the SAME micro-batch
+        # must pair (new-vs-(old ∪ new) join, not new-vs-old only)
+        bands_acc = str(tmp_path / "bands_acc")
+        pairs_out = str(tmp_path / "pairs")
+        fn = incremental.foreach_batch_candidates(bands_acc, pairs_out)
+        batch = ops.with_signatures(
+            spark.createDataFrame(
+                [
+                    (1, "apple banana orange fruit salad recipe with apple and banana"),
+                    (2, "apple banana orange fruit salad recipe with apple and banana"),
+                    (3, "completely different text about pasta sauce and cooking"),
+                ],
+                "doc_id long, text string",
+            ),
+            CFG,
+        )
+        fn(batch, 0)
+        pairs = {(r.a, r.b) for r in spark.read.parquet(pairs_out).collect()}
+        assert (1, 2) in pairs
+        assert not any(3 in p for p in pairs)
+        # a later batch still pairs against the accumulated table
+        b2 = ops.with_signatures(
+            spark.createDataFrame(
+                [(4, "apple banana orange fruit salad recipe with apple and banana")],
+                "doc_id long, text string",
+            ),
+            CFG,
+        )
+        fn(b2, 1)
+        pairs = {(r.a, r.b) for r in spark.read.parquet(pairs_out).collect()}
+        assert {(1, 2), (1, 4), (2, 4)} <= pairs
