@@ -45,9 +45,11 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: MinHash → LSH bands → candidate self-join → similarity
     verify → connected components → cluster assignments (sf0.001)."""
     sig = _sigs(spark, "/root/testdata/sf0.001").cache()
+    # persist the edge list: connected_components runs a size probe AND a
+    # collect — without this the candidates+verify subtree executes twice
     ver = ops.verified_pairs(
         ops.candidate_pairs(ops.bands_table(sig)), sig, THRESHOLD
-    )
+    ).persist()
     cc = ops.connected_components(ver.select("a", "b"))
     return ops.clusters_with_singletons(sig, cc)
 
@@ -82,7 +84,9 @@ def _q_verified_pairs(spark, sf_dir):
 
 def _q_clusters(spark, sf_dir):
     sig = _sigs(spark, sf_dir).cache()
-    ver = ops.verified_pairs(ops.candidate_pairs(ops.bands_table(sig)), sig, THRESHOLD)
+    ver = ops.verified_pairs(
+        ops.candidate_pairs(ops.bands_table(sig)), sig, THRESHOLD
+    ).persist()
     cc = ops.connected_components(ver.select("a", "b"))
     return ops.clusters_with_singletons(sig, cc)
 
@@ -108,9 +112,16 @@ def _q_simhash_pairs(spark, sf_dir):
 
 
 def _q_exact_dup_groups(spark, sf_dir):
+    # the sf fixtures have no natural exact dups, which made this oracle
+    # vacuous (0 rows) — plant deterministic duplicates (shifted-id copies of
+    # the first 50 docs) so the green row actually proves the operator
     from lexis_minhash_spark.operators.dedup import exact_duplicate_groups
 
-    return exact_duplicate_groups(_docs(spark, sf_dir)).select(
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return exact_duplicate_groups(docs.unionByName(planted)).select(
         "content_hash", "n_docs", "keeper"
     )
 
@@ -123,6 +134,19 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
+# binds at sf0.01 (29 trigrams have df > 5), pinning the hot-gram quarantine
+# AND the exact-over-capped-universe denominator semantics
+NGRAM_MAX_DF = 5
+
+
+def _q_ngram_jaccard_capped(spark, sf_dir):
+    from lexis_minhash_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=NGRAM_THRESHOLD, max_doc_freq=NGRAM_MAX_DF
+    )
+
+
 def _q_embedding_pairs(spark, sf_dir):
     from lexis_minhash_spark.operators.dedup import embedding_cosine_pairs
 
@@ -132,13 +156,26 @@ def _q_embedding_pairs(spark, sf_dir):
     ).select("a", "b")
 
 
+ANN_PLANES = 10
+ANN_TABLES = 4
+ANN_SEED = 42
+ANN_SCALE = 1024.0
+ANN_DIM = 64
+
+
 def _q_embedding_ann(spark, sf_dir):
     from lexis_minhash_spark.operators.dedup import lsh_bucketed_cosine_pairs
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.select("embedding").head().embedding)
     return lsh_bucketed_cosine_pairs(
-        emb, dim=dim, threshold=COSINE_THRESHOLD, n_planes=10, n_tables=4
+        emb,
+        dim=dim,
+        threshold=COSINE_THRESHOLD,
+        n_planes=ANN_PLANES,
+        n_tables=ANN_TABLES,
+        seed=ANN_SEED,
+        scale=ANN_SCALE,
     ).select("a", "b")
 
 
@@ -188,7 +225,9 @@ def _q_suffix_matches(spark, sf_dir):
     from lexis_minhash_spark.operators.suffix import exact_substring_matches
 
     sig = _sigs(spark, sf_dir).cache()
-    ver = ops.verified_pairs(ops.candidate_pairs(ops.bands_table(sig)), sig, THRESHOLD)
+    ver = ops.verified_pairs(
+        ops.candidate_pairs(ops.bands_table(sig)), sig, THRESHOLD
+    ).persist()
     cc = ops.connected_components(ver.select("a", "b"))
     return exact_substring_matches(
         _docs(spark, sf_dir), cc, min_len=20, group_col="cluster_id"
@@ -265,13 +304,15 @@ def _q_shared_bands_pairs(spark, sf_dir):
 
 
 def _q_query_scored(spark, sf_dir):
-    # L7 scored query against a fixed probe text
+    # L7 scored query against a fixed probe text (doc 0).  Emits the integer
+    # matching-slot count (score * signature_size, exact in double) instead
+    # of a rounded double so the DuckDB comparison is tie-free.
     sig = _sigs(spark, sf_dir).cache()
     bands = ops.bands_table(sig)
     probe = _docs(spark, sf_dir).where("doc_id = 0").head().text
-    return (
-        ops.query_with_scores(spark, [(0, probe)], bands, sig, CFG)
-        .select("doc_id", F.round("score", 6).alias("score"))
+    return ops.query_with_scores(spark, [(0, probe)], bands, sig, CFG).select(
+        "doc_id",
+        F.round(F.col("score") * CFG.signature_size).cast("int").alias("n_match"),
     )
 
 
@@ -288,6 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "exact_dup_groups": _q_exact_dup_groups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "ngram_jaccard_capped": _q_ngram_jaccard_capped,
         "embedding_cosine_pairs": _q_embedding_pairs,
         "embedding_ann_pairs": _q_embedding_ann,
         "token_counts": _q_token_counts,
@@ -320,11 +362,12 @@ _LANG_MARKERS = {
 
 
 def _zero_sig_gate_sql() -> str:
+    norm = D.norm_expr("text")
     return f"""
     SELECT doc_id,
-           NOT (length(trim(lower(text))) > 0
-                AND length(regexp_split_to_array(trim(lower(text)), '\\s+')) >= {CFG.min_words}
-                AND length(trim(lower(text))) >= {CFG.shingle_size}) AS is_zero
+           NOT (length({norm}) > 0
+                AND length(regexp_split_to_array({norm}, '\\s+')) >= {CFG.min_words}
+                AND length({norm}) >= {CFG.shingle_size}) AS is_zero
     FROM documents ORDER BY doc_id"""
 
 
@@ -376,8 +419,13 @@ def _langid_sql() -> str:
 
 def _exact_dup_sql() -> str:
     return """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50
+    )
     SELECT md5(text) AS content_hash, count(*)::BIGINT AS n_docs, min(doc_id) AS keeper
-    FROM documents GROUP BY md5(text) HAVING count(*) > 1"""
+    FROM corpus GROUP BY md5(text) HAVING count(*) > 1"""
 
 
 def _ngram_jaccard_sql() -> str:
@@ -400,6 +448,92 @@ def _ngram_jaccard_sql() -> str:
     HAVING count(*)::DOUBLE / (any_value(x.n_grams) + any_value(y.n_grams) - count(*)) >= {NGRAM_THRESHOLD}"""
 
 
+def _ngram_jaccard_capped_sql() -> str:
+    """Capped twin of _ngram_jaccard_sql: grams with df > NGRAM_MAX_DF are
+    quarantined and per-doc denominators are recomputed over the surviving
+    gram universe (mirrors ngram_jaccard_pairs(max_doc_freq=...))."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, length(w) - 1),
+                                          i -> array_to_string(w[i:i+2], ' '))) AS g
+      FROM toks WHERE length(w) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+    hot AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) > {NGRAM_MAX_DF}),
+    kept AS (SELECT doc_id, gram FROM ex ANTI JOIN hot USING (gram)),
+    counts AS (SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY doc_id)
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           round(count(*)::DOUBLE / (any_value(ca.n_grams) + any_value(cb.n_grams) - count(*)), 6) AS jaccard
+    FROM kept x
+    JOIN kept y ON x.gram = y.gram AND x.doc_id < y.doc_id
+    JOIN counts ca ON ca.doc_id = x.doc_id
+    JOIN counts cb ON cb.doc_id = y.doc_id
+    GROUP BY x.doc_id, y.doc_id
+    HAVING count(*)::DOUBLE / (any_value(ca.n_grams) + any_value(cb.n_grams) - count(*)) >= {NGRAM_THRESHOLD}"""
+
+
+def _doc_fingerprint_sql(window: int = 64) -> str:
+    """Rolling min-hash document fingerprint (kernels.rolling_fingerprint):
+    min over ``window``-byte windows of the P=31 polynomial hash mod 2^64
+    (whole-text hash when shorter; 0 when empty), signed-reinterpreted to
+    BIGINT.  HUGEINT modular fold reproduces the uint64 wraparound exactly
+    (ASCII corpus: codepoints == UTF-8 bytes)."""
+    from lexis_minhash_spark.duckdb_oracle import U63, U64
+
+    fold = (
+        "list_reduce(list_transform(range(s, s + n), "
+        "j -> ascii(substring(text, j::INT, 1))::HUGEINT), "
+        f"(x, y) -> (x * 31 + y) % {U64}::HUGEINT)"
+    )
+    return f"""
+    WITH windows AS (
+      SELECT doc_id, i AS s, {window} AS n, text
+      FROM documents, UNNEST(range(1, length(text) - {window - 2})) AS t(i)
+      WHERE length(text) >= {window}
+      UNION ALL
+      SELECT doc_id, 1 AS s, length(text) AS n, text
+      FROM documents WHERE length(text) BETWEEN 1 AND {window - 1}
+    ),
+    mins AS (
+      SELECT doc_id, min({fold}) AS u FROM windows GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(CASE WHEN u >= {U63}::HUGEINT THEN (u - {U64}::HUGEINT)::BIGINT
+                         ELSE u::BIGINT END, 0) AS fingerprint
+    FROM documents d LEFT JOIN mins m ON m.doc_id = d.doc_id
+    ORDER BY d.doc_id"""
+
+
+def _query_scored_sql() -> str:
+    """L7 scored query twin: probe = doc 0's text, so the probe's bands and
+    signature are exactly doc 0's rows in the shared CTEs.  Candidates =
+    gated docs sharing >= 1 (band_idx, band_hash) with the probe; n_match =
+    integer count of equal signature slots."""
+    return f"""WITH {D.coeff_cte(CFG)},
+  {D.gated_docs_cte(CFG, "documents")},
+  {D.shingles_cte(CFG)},
+  {D.signatures_cte()},
+  {D.bands_cte(CFG)},
+  probe_bands AS (SELECT band_idx, band_hash FROM bands WHERE doc_id = 0),
+  cand AS (
+    SELECT DISTINCT b.doc_id
+    FROM bands b JOIN probe_bands p
+      ON b.band_idx = p.band_idx AND b.band_hash = p.band_hash
+  ),
+  probe_sig AS (SELECT i, value FROM sigs WHERE doc_id = 0)
+  SELECT c.doc_id,
+         sum(CASE WHEN s.value = p.value THEN 1 ELSE 0 END)::INT AS n_match
+  FROM cand c
+  JOIN sigs s ON s.doc_id = c.doc_id
+  JOIN probe_sig p ON p.i = s.i
+  GROUP BY c.doc_id ORDER BY c.doc_id"""
+
+
 def _embedding_pairs_sql() -> str:
     # double-precision dot/norms mirroring Spark's aggregate() fold
     dot = "list_reduce(list_transform(range(1, length(a.embedding) + 1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), (x, y) -> x + y)"
@@ -409,6 +543,58 @@ def _embedding_pairs_sql() -> str:
     SELECT a.vec_id AS a, b.vec_id AS b
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE CASE WHEN {na} * {nb} = 0 THEN 0.0 ELSE {dot} / ({na} * {nb}) END >= {COSINE_THRESHOLD}"""
+
+
+def _embedding_ann_sql() -> str:
+    """Quantized-Rademacher ANN twin: q_i = floor(v_i·scale)::BIGINT (exact
+    in both engines: power-of-two scale), per-table bucket key from ±1
+    projections (pure integer sums), candidates = same (table, bucket),
+    exact-cosine verify mirroring _embedding_pairs_sql."""
+    from lexis_minhash_spark.operators.dedup import rademacher_hyperplanes
+
+    key_exprs = []
+    for t in range(ANN_TABLES):
+        planes = rademacher_hyperplanes(ANN_DIM, ANN_PLANES, ANN_SEED + 1000 * t)
+        bits = []
+        for j in range(ANN_PLANES):
+            terms = "".join(
+                f" {'+' if planes[j, i] > 0 else '-'} q[{i + 1}]"
+                for i in range(ANN_DIM)
+            )
+            bits.append(f"(CASE WHEN ({terms}) > 0 THEN {1 << j} ELSE 0 END)")
+        key_exprs.append("(" + " + ".join(bits) + ")")
+    key_cols = ",\n             ".join(
+        f"{e} AS key{t}" for t, e in enumerate(key_exprs)
+    )
+    bucket_case = " ".join(f"WHEN {t} THEN key{t}" for t in range(ANN_TABLES))
+    dot = "list_reduce(list_transform(range(1, length(ea.embedding) + 1), i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE), (x, y) -> x + y)"
+    na = "sqrt(list_reduce(list_transform(ea.embedding, v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y))"
+    nb = "sqrt(list_reduce(list_transform(eb.embedding, v -> v::DOUBLE * v::DOUBLE), (x, y) -> x + y))"
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(floor(v::DOUBLE * {ANN_SCALE}) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    keys AS (
+      SELECT vec_id,
+             {key_cols}
+      FROM q
+    ),
+    tagged AS (
+      SELECT vec_id, t AS table_idx, CASE t {bucket_case} END AS bucket
+      FROM keys, UNNEST(range(0, {ANN_TABLES})) AS u(t)
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM tagged x JOIN tagged y
+        ON x.table_idx = y.table_idx AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT c.a, c.b
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.a
+    JOIN embeddings eb ON eb.vec_id = c.b
     WHERE CASE WHEN {na} * {nb} = 0 THEN 0.0 ELSE {dot} / ({na} * {nb}) END >= {COSINE_THRESHOLD}"""
 
 
@@ -479,17 +665,19 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": D.simhash_pairs_sql(CFG, max_hamming=3),
         "exact_dup_groups": _exact_dup_sql(),
         "ngram_jaccard_pairs": _ngram_jaccard_sql(),
+        "ngram_jaccard_capped": _ngram_jaccard_capped_sql(),
         "embedding_cosine_pairs": _embedding_pairs_sql(),
+        "embedding_ann_pairs": _embedding_ann_sql(),
         "token_counts": _token_counts_sql(),
         "doc_quality": _quality_sql(),
         "langid": _langid_sql(),
+        "doc_fingerprint": _doc_fingerprint_sql(),
+        "query_with_scores": _query_scored_sql(),
         "weighted_signature_slots": D.weighted_signature_slots_sql(
             CFG, WEIGHTED_FIXTURE, where=SLOT_SCOPE
         ),
         "overlap_pairs": _overlap_pairs_sql(),
         "weighted_overlap_pairs": _weighted_overlap_pairs_sql(),
         "shared_bands_pairs": _shared_bands_pairs_sql(),
-        # rows-only (non-SQL-expressible): embedding_ann_pairs (random
-        # hyperplanes), doc_fingerprint (u64 rolling min), suffix_matches
-        # (suffix array), query_with_scores (probe bands)
+        # rows-only (non-SQL-expressible): suffix_matches (suffix array)
     }

@@ -27,6 +27,16 @@ U63 = "9223372036854775808"  # 2^63
 U32 = "4294967296"  # 2^32
 
 
+def norm_expr(col: str = "text") -> str:
+    """SQL twin of the kernel's Python ``str.lower().strip()``: strips the
+    full ASCII whitespace class at both ends (DuckDB's ``trim`` strips only
+    spaces, which diverges from Python ``strip`` on \\n/\\t/\\f/\\v/\\r
+    boundary whitespace)."""
+    return (
+        f"regexp_replace(lower({col}), '^[ \t\n\r\f\v]+|[ \t\n\r\f\v]+$', '', 'g')"
+    )
+
+
 def coeff_cte(cfg: EngineConfig) -> str:
     a, b = cfg.coefficients
     rows = ",\n      ".join(
@@ -39,7 +49,7 @@ def gated_docs_cte(cfg: EngineConfig, table: str = "documents", where: str = "TR
     """Documents passing the zero-signature gates (engine/signature.cr:13-16),
     with normalized text."""
     return f"""docs AS (
-    SELECT doc_id, trim(lower(text)) AS norm
+    SELECT doc_id, {norm_expr("text")} AS norm
     FROM {table} WHERE {where}
   ),
   gated AS (

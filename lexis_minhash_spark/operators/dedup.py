@@ -32,20 +32,27 @@ from lexis_minhash_spark.functions.similarity import cosine_expr, jaccard_expr
 # ---------------------------------------------------------------------------
 
 def exact_duplicate_groups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_ids: bool = False,
 ) -> DataFrame:
     """Exact-duplicate groups via content digest. One shuffle; the digest is
     computed map-side so only (hash, id) moves. Returns
-    (content_hash, n_docs, doc_ids sorted, keeper = min id)."""
+    (content_hash, n_docs, keeper = min id[, doc_ids sorted]).
+
+    ``include_ids`` is opt-in: at 100 TB one pathological duplicated text
+    (empty/boilerplate) funnels its whole group into a single task's array
+    — the keeper decision only needs ``min(id)``, which partial-aggregates
+    map-side with no skew."""
+    aggs = [F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keeper")]
+    if include_ids:
+        aggs.append(F.sort_array(F.collect_list(id_col)).alias("doc_ids"))
     return (
         df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
-        )
+        .agg(*aggs)
         .where(F.col("n_docs") > 1)
-        .withColumn("keeper", F.col("doc_ids")[0])
     )
 
 
@@ -90,6 +97,7 @@ def simhash_candidate_pairs(
     id_col: str = "doc_id",
     num_blocks: int = 4,
     max_hamming: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Hamming-near pairs: split each fingerprint into ``num_blocks`` 16-bit
     block keys; docs within Hamming distance ``num_blocks - 1`` share at
@@ -98,7 +106,14 @@ def simhash_candidate_pairs(
 
     Zero fingerprints (gated-out/empty docs) are quarantined — they would
     all pair with each other at distance 0 and form the hottest block
-    buckets (same rationale as the zero-signature quarantine)."""
+    buckets (same rationale as the zero-signature quarantine).
+
+    ``max_bucket_size`` quarantines pathological hot block keys (e.g. a
+    constant fingerprint nibble across templated docs) with a broadcast
+    anti-join before the self-join — a capped bucket of size m would
+    otherwise contribute m² join rows; genuinely-near pairs in a capped
+    bucket still meet on one of their other blocks unless every shared
+    block is hot."""
     width = 64 // num_blocks
     mask = (1 << width) - 1
     sim_df = sim_df.where(F.col("simhash") != 0)
@@ -114,6 +129,14 @@ def simhash_candidate_pairs(
             )
         ).alias("block_idx", "block_key"),
     )
+    if max_bucket_size is not None:
+        hot = (
+            blocks.groupBy("block_idx", "block_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_bucket_size)
+            .select("block_idx", "block_key")
+        )
+        blocks = blocks.join(F.broadcast(hot), ["block_idx", "block_key"], "left_anti")
     left = blocks.select(
         "block_idx", "block_key", F.col(id_col).alias("a"), F.col("simhash").alias("sim_a")
     )
@@ -161,15 +184,21 @@ def ngram_jaccard_pairs(
     with document frequency > ``max_doc_freq`` are quarantined from
     candidate generation — they cannot be discriminative and are the skew
     hotspot), count shared grams per pair, then exact Jaccard from the
-    per-doc distinct-gram counts.  Candidates missed by the DF cap are only
-    those whose *every* shared gram is ultra-common — by construction far
-    below any useful threshold.  Entirely SQL: one explode, one equi-join,
-    two aggregations."""
+    per-doc distinct-gram counts.  With the cap active the Jaccard is exact
+    over the *capped gram universe*: per-doc counts are recomputed after the
+    hot-gram anti-join (a window count — one extra shuffle keyed on doc id)
+    so the denominator matches the intersection's universe — otherwise the
+    score is biased low for documents containing hot grams.  Candidates
+    missed entirely by the cap are only those whose *every* shared gram is
+    ultra-common — by construction far below any useful threshold.
+    Entirely SQL: one explode, one equi-join, two aggregations."""
     grams = df.select(
         F.col(id_col), word_ngrams_expr(text_col, n).alias("grams")
     ).withColumn("n_grams", F.size("grams"))
     exploded = grams.select(id_col, "n_grams", F.explode("grams").alias("gram"))
     if max_doc_freq is not None:
+        from pyspark.sql import Window
+
         hot = (
             exploded.groupBy("gram")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -177,6 +206,10 @@ def ngram_jaccard_pairs(
             .select("gram")
         )
         exploded = exploded.join(F.broadcast(hot), "gram", "left_anti")
+        # exact-over-capped-universe: denominators count surviving grams
+        exploded = exploded.withColumn(
+            "n_grams", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
     left = exploded.select(
         F.col("gram"), F.col(id_col).alias("a"), F.col("n_grams").alias("na")
     )
@@ -242,6 +275,41 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float32)
 
 
+def rademacher_hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """±1 sign-projection hyperplanes (Rademacher entries).  Same LSH
+    collision guarantees as Gaussian planes (Charikar 2002 + CLT), but the
+    projections are integer-exact, so the bucket keys are reproducible in
+    SQL — this is what lets embedding_ann_pairs carry a DuckDB oracle."""
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 2, size=(n_planes, dim)) * 2 - 1).astype(np.int64)
+
+
+def quantized_sign_bucket_udf(planes: np.ndarray, scale: float = 1024.0):
+    """pandas UDF embedding → int64 sign-bucket key with EXACT arithmetic:
+    q_i = floor(v_i * scale) (float64 product with a power-of-two scale is
+    exact), bit_j = (Σ_i s_ij · q_i) > 0 with s ∈ {±1} (every partial sum is
+    an integer far below 2^53, so the float64 matmul is exact regardless of
+    summation order), key = Σ_j bit_j << j."""
+    pf = planes.astype(np.float64)
+
+    @pandas_udf(LongType())
+    def _bucket(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batches:
+            if len(vecs) == 0:
+                yield pd.Series([], dtype=np.int64)
+                continue
+            m = np.stack(vecs.to_numpy()).astype(np.float64)
+            q = np.floor(m * scale)
+            dots = q @ pf.T
+            signs = dots > 0
+            key = np.zeros(len(vecs), dtype=np.int64)
+            for j in range(pf.shape[0]):
+                key |= signs[:, j].astype(np.int64) << j
+            yield pd.Series(key)
+
+    return _bucket
+
+
 def hyperplane_bucket_udf(planes: np.ndarray):
     """pandas UDF embedding → int64 sign-bucket key (random hyperplane LSH,
     Charikar 2002).  Vectorized matmul per Arrow batch."""
@@ -272,36 +340,53 @@ def lsh_bucketed_cosine_pairs(
     n_planes: int = 12,
     n_tables: int = 4,
     seed: int = 42,
+    method: str = "quantized",
+    scale: float = 1024.0,
 ) -> DataFrame:
     """Scale path for embedding near-dup: ``n_tables`` independent
-    random-hyperplane sign buckets; candidates = same bucket in any table;
-    verify with exact cosine.  Each table is one groupable int64 key so the
-    join shuffles only (key, id, vec)."""
+    sign-projection buckets; candidates = same bucket in any table; verify
+    with exact cosine.  Each table is one groupable int64 key.
+
+    ``method='quantized'`` (default) uses ±1 Rademacher planes over
+    floor(v·scale) integer projections — bit-reproducible in SQL (DuckDB
+    oracle) and multiply-free.  ``method='gaussian'`` keeps the classic
+    float32 Gaussian planes.
+
+    Shuffle discipline: the bucket join and the pair dedup move ONLY
+    (table_idx, bucket, id) — embedding vectors are re-joined per side
+    after the distinct, so the wide array column is never carried through
+    the candidate shuffles."""
     out = df.select(id_col, vec_col)
     keys = []
     for t in range(n_tables):
-        planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
-        out = out.withColumn(f"_bk{t}", hyperplane_bucket_udf(planes)(F.col(vec_col)))
+        if method == "quantized":
+            planes = rademacher_hyperplanes(dim, n_planes, seed + 1000 * t)
+            udf = quantized_sign_bucket_udf(planes, scale)
+        elif method == "gaussian":
+            planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
+            udf = hyperplane_bucket_udf(planes)
+        else:
+            raise ValueError(f"unknown method {method!r}")
+        out = out.withColumn(f"_bk{t}", udf(F.col(vec_col)))
         keys.append(f"_bk{t}")
     tagged = out.select(
         id_col,
-        vec_col,
         F.posexplode(F.array(*[F.col(k) for k in keys])).alias("table_idx", "bucket"),
     )
-    a = tagged.select(
-        "table_idx", "bucket", F.col(id_col).alias("a"), F.col(vec_col).alias("va")
-    )
-    b = tagged.select(
-        "table_idx", "bucket", F.col(id_col).alias("b"), F.col(vec_col).alias("vb")
-    )
-    cands = (
+    a = tagged.select("table_idx", "bucket", F.col(id_col).alias("a"))
+    b = tagged.select("table_idx", "bucket", F.col(id_col).alias("b"))
+    cand_ids = (
         a.join(b, ["table_idx", "bucket"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "va", "vb")
-        .dropDuplicates(["a", "b"])
+        .select("a", "b")
+        .distinct()
     )
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     return (
-        cands.withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
+        cand_ids.join(va, "a")
+        .join(vb, "b")
+        .withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
         .where(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )

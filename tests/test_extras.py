@@ -69,9 +69,13 @@ class TestDedup:
             [(1, "same text"), (2, "same text"), (3, "other"), (4, "same text")],
             "doc_id long, text string",
         )
-        groups = dedup.exact_duplicate_groups(df).collect()
+        groups = dedup.exact_duplicate_groups(df, include_ids=True).collect()
         assert len(groups) == 1
         assert groups[0].doc_ids == [1, 2, 4] and groups[0].keeper == 1
+        # default output is skew-safe: no id-list aggregation
+        default = dedup.exact_duplicate_groups(df)
+        assert "doc_ids" not in default.columns
+        assert default.collect()[0].keeper == 1
         kept = {r.doc_id for r in dedup.exact_dedup(df).collect()}
         assert kept == {1, 3}
 
@@ -92,6 +96,34 @@ class TestDedup:
         # containing the last word → inter=6, union=8, jaccard=0.75
         assert got[(1, 2)] == pytest.approx(6 / 8, abs=1e-6)
 
+    def test_ngram_jaccard_cap_exact_over_capped_universe(self, spark):
+        # gram "a b c" appears in all 4 docs (df=4 > cap=3) → quarantined;
+        # denominators must be recomputed over the SURVIVING gram universe:
+        # doc1 {b c d, c d e, d e f}, doc2 {b c d, c d e, d e g} →
+        # inter=2, union=4 → jaccard=0.5 (biased-low 2/(4+4-2)=0.33 with the
+        # old uncorrected denominators; 0.6 uncapped)
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e f"),
+                (2, "a b c d e g"),
+                (3, "a b c x y z"),
+                (4, "a b c q r s"),
+            ],
+            "doc_id long, text string",
+        )
+        uncapped = {
+            (r.a, r.b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(df, n=3, threshold=0.4, max_doc_freq=None).collect()
+        }
+        assert uncapped[(1, 2)] == pytest.approx(3 / 5, abs=1e-6)
+        capped = {
+            (r.a, r.b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(df, n=3, threshold=0.4, max_doc_freq=3).collect()
+        }
+        assert capped[(1, 2)] == pytest.approx(2 / 4, abs=1e-6)
+        # docs sharing ONLY the hot gram produce no pair
+        assert (3, 4) not in capped
+
     def test_simhash_pairs(self, spark):
         df = spark.createDataFrame(
             [
@@ -110,6 +142,23 @@ class TestDedup:
         got = {(r.a, r.b) for r in pairs}
         assert (1, 2) in got
         assert (1, 3) not in got and (2, 3) not in got
+
+    def test_simhash_hot_block_cap(self, spark):
+        # 12 identical docs → one fingerprint → every block bucket has 12
+        # members; cap=5 quarantines them all. The near-dup pair (101, 102)
+        # sits in small buckets and must survive the cap.
+        template = [(i, "all work and no play makes jack a dull boy indeed") for i in range(12)]
+        near = [
+            (101, "the quick brown fox jumps over the lazy dog and runs away"),
+            (102, "the quick brown fox jumps over the lazy dog and runs home"),
+        ]
+        df = spark.createDataFrame(template + near, "doc_id long, text string")
+        sim = dedup.with_simhash(df, CFG)
+        uncapped = {(r.a, r.b) for r in dedup.simhash_candidate_pairs(sim, num_blocks=16, max_hamming=15).collect()}
+        assert (0, 1) in uncapped and (101, 102) in uncapped
+        capped = {(r.a, r.b) for r in dedup.simhash_candidate_pairs(sim, num_blocks=16, max_hamming=15, max_bucket_size=5).collect()}
+        assert (101, 102) in capped
+        assert not any(a < 100 and b < 100 for a, b in capped)
 
     def test_embedding_cosine_pairs_and_topk(self, spark):
         df = spark.createDataFrame(
@@ -180,6 +229,44 @@ class TestTextStats:
         df = spark.createDataFrame([(1, "some document text"), (2, "some document text"), (3, "different")], "doc_id long, text string")
         rows = {r.doc_id: r.fingerprint for r in textstats.with_fingerprint(df).collect()}
         assert rows[1] == rows[2] != rows[3]
+
+
+class TestOracleWhitespaceParity:
+    def test_gate_and_slots_match_duckdb_on_boundary_whitespace(self, spark):
+        # kernel normalizes with Python str.strip() (all whitespace); the SQL
+        # twins must strip the same class — plain trim() diverges on \n\t
+        import duckdb
+
+        import __spark_entry__ as E
+        from lexis_minhash_spark import duckdb_oracle as D
+        from lexis_minhash_spark import ops
+
+        docs = [
+            (1, "\n  the quick brown fox jumps high \t\n"),
+            (2, "plain text with four words"),
+            (3, "\t\n  \n"),  # whitespace-only → zero
+            (4, "one two three\n"),  # 3 words → gated out (min_words=4)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        sig = ops.with_signatures(df, CFG)
+        spark_zero = {r.doc_id: r.is_zero for r in sig.collect()}
+        spark_slots = {(r.doc_id, r.i): r.value for r in ops.signature_slots(sig).collect()}
+        assert spark_zero == {1: False, 2: False, 3: True, 4: True}
+
+        con = duckdb.connect()
+        import pandas as pd
+
+        con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+        duck_zero = {
+            int(r.doc_id): bool(r.is_zero)
+            for r in con.sql(E._zero_sig_gate_sql()).df().itertuples()
+        }
+        assert duck_zero == spark_zero
+        duck_slots = {
+            (int(r.doc_id), int(r.i)): int(r.value)
+            for r in con.sql(D.signature_slots_sql(CFG)).df().itertuples()
+        }
+        assert duck_slots == spark_slots
 
 
 def _brute_lcs(t1: str, t2: str) -> int:
