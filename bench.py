@@ -77,7 +77,9 @@ def main() -> None:
     sig = ops.with_signatures(docs, CFG).persist()
     bands = ops.bands_table(sig)
     cands = ops.candidate_pairs_grouped(bands, max_bucket_size=10_000)
-    ver = ops.verified_pairs(cands, sig, 0.75)
+    # persist the edge list: connected_components runs a size probe AND a
+    # collect — unpersisted, the candidates+verify subtree executes twice
+    ver = ops.verified_pairs(cands, sig, 0.75).persist()
     cc = ops.connected_components(ver.select("a", "b"))
     clusters = ops.clusters_with_singletons(sig, cc)
     n_rows = clusters.count()
@@ -97,9 +99,12 @@ def main() -> None:
     queries["simhash_pairs"] = round(time.monotonic() - t0, 3)
     extras["simhash_pair_count"] = n_sim_pairs
     sig.unpersist()
+    ver.unpersist()
 
     # -- documents-table workloads -------------------------------------------
-    ddocs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # the small sf parquet coalesces to 1 input split; spread the CPU-bound
+    # signature/gram stages across cores
+    ddocs = spark.read.parquet(f"{SF_DIR}/documents.parquet").repartition(CPUS)
     t0 = time.monotonic()
     dsig = ops.with_signatures(ddocs, CFG).persist()
     dver = ops.verified_pairs(ops.candidate_pairs(ops.bands_table(dsig)), dsig, 0.75)
@@ -109,9 +114,12 @@ def main() -> None:
 
     from lexis_minhash_spark.operators.dedup import cosine_topk, ngram_jaccard_pairs
 
+    # capped plan (the 100 TB configuration): hot grams quarantined, Jaccard
+    # exact over the capped universe (uncapped parity is pinned by the
+    # sf0.01 DuckDB oracle instead)
     t0 = time.monotonic()
     extras["ngram_pair_count"] = ngram_jaccard_pairs(
-        ddocs, n=3, threshold=0.2, max_doc_freq=None
+        ddocs, n=3, threshold=0.2, max_doc_freq=1000
     ).count()
     queries["ngram_jaccard"] = round(time.monotonic() - t0, 3)
 

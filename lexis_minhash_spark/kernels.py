@@ -205,13 +205,20 @@ def _prep_coeff_limbs(a: np.ndarray, b: np.ndarray):
     al = _u64_limbs16(a, 0)  # (4, S)
     bl = _u64_limbs16(b, 0)
     two16 = 65536.0
-    ca = np.stack([al[0] + two16 * al[1], al[0]])  # (2, S)
-    cz = np.stack(
-        [al[2] + two16 * al[3], al[1] + two16 * al[2], al[0] + two16 * al[1], al[0]]
-    )  # (4, S)
-    by = bl[0] + two16 * bl[1]  # (S,)
-    bz = bl[2] + two16 * bl[3]
-    return ca, cz, by, bz
+    # bias rows are FOLDED into the coefficient matrices (the input matrices
+    # carry a constant ones column), saving one full elementwise pass per
+    # matmul: Y = [h0, 2^16·h1, 1] @ caY ; Z = [h0, h1, h2, 2^16·h3, 1] @ caZ
+    ca = np.vstack([al[0] + two16 * al[1], al[0], bl[0] + two16 * bl[1]])  # (3, S)
+    cz = np.vstack(
+        [
+            al[2] + two16 * al[3],
+            al[1] + two16 * al[2],
+            al[0] + two16 * al[1],
+            al[0],
+            bl[2] + two16 * bl[3],
+        ]
+    )  # (5, S)
+    return ca, cz
 
 
 class _MulShiftScratch:
@@ -222,7 +229,10 @@ class _MulShiftScratch:
     def __init__(self, max_rows: int, s: int):
         self.max_rows = max_rows
         self.h_lim = np.empty((max_rows, 4), dtype=np.float64)
-        self.hA = np.empty((max_rows, 2), dtype=np.float64)
+        self.XY = np.empty((max_rows, 3), dtype=np.float64)
+        self.XY[:, 2] = 1.0  # constant ones column (bias fold)
+        self.XZ = np.empty((max_rows, 5), dtype=np.float64)
+        self.XZ[:, 4] = 1.0
         self.Y = np.empty((max_rows, s), dtype=np.float64)
         self.Z = np.empty((max_rows, s), dtype=np.float64)
         self.m32 = np.empty((max_rows, s), dtype=np.uint32)
@@ -243,8 +253,12 @@ def _mulshift_high32(
     divisions by powers of two → exact).  Replaces the naive uint64 path
     because x86 lacks SIMD 64-bit multiply and NumPy's u64 ``*`` is ~100x
     slower than float64 on the target hosts; bit-identical values
-    (cross-checked against the u64 path and the scalar oracle in tests)."""
-    ca, cz, by, bz = coeffs
+    (cross-checked against the u64 path and the scalar oracle in tests).
+
+    Pass census per (shingle × S) element: 2 GEMMs (biases folded via ones
+    columns) + 3 carry passes + 4 mod-2^32 passes (fmod measured slower
+    than the explicit floor chain on this host)."""
+    ca, cz = coeffs
     n = int(h.shape[0])
     s = ca.shape[1]
     if scratch is None or scratch.max_rows < n:
@@ -253,19 +267,20 @@ def _mulshift_high32(
     # 16-bit limbs via zero-copy little-endian view
     h_lim = scratch.h_lim[:n]
     np.copyto(h_lim, np.ascontiguousarray(h).view(np.uint16).reshape(n, 4))
-    hA = scratch.hA[:n]
-    hA[:, 0] = h_lim[:, 0]
-    np.multiply(h_lim[:, 1], two16, out=hA[:, 1])
+    XY, XZ = scratch.XY[:n], scratch.XZ[:n]
+    XY[:, 0] = h_lim[:, 0]
+    np.multiply(h_lim[:, 1], two16, out=XY[:, 1])
+    XZ[:, 0] = h_lim[:, 0]
+    XZ[:, 1] = h_lim[:, 1]
+    XZ[:, 2] = h_lim[:, 2]
+    np.multiply(h_lim[:, 3], two16, out=XZ[:, 3])
     Y, Z = scratch.Y[:n], scratch.Z[:n]
-    # Y = L0 + 2^16*L1 ; carry into bit 32 is floor(Y / 2^32)
-    np.matmul(hA, ca, out=Y)
-    Y += by
+    # Y = L0 + 2^16*L1 + by ; carry into bit 32 is floor(Y / 2^32)
+    np.matmul(XY, ca, out=Y)
     np.multiply(Y, inv32, out=Y)
     np.floor(Y, out=Y)            # c2
-    # Z = L2 + 2^16*L3 + c2 ; H = Z mod 2^32
-    h_lim[:, 3] *= two16          # [h0, h1, h2, 2^16*h3]
-    np.matmul(h_lim, cz, out=Z)
-    Z += bz
+    # Z = L2 + 2^16*L3 + bz + c2 ; H = Z mod 2^32
+    np.matmul(XZ, cz, out=Z)
     Z += Y
     np.multiply(Z, inv32, out=Y)
     np.floor(Y, out=Y)
@@ -391,18 +406,21 @@ def minhash_batch(
         if n_rows > scratch.max_rows:  # lone doc larger than the block budget
             scratch = _MulShiftScratch(n_rows, s)
         m = _mulshift_high32(h[lo:hi], coeffs, scratch)
-        m32 = scratch.m32[:n_rows]
+        local_starts = (ne_starts[doc_pos:end] - lo).astype(np.intp)
         if w is not None:
             dv = divisor[lo:hi]
             fw = scratch.fw[:n_rows]
             np.divide(m, dv[:, None], out=fw)
             np.fmod(fw, U32_MAX_F, out=fw)
+            m32 = scratch.m32[:n_rows]
             np.copyto(m32, fw, casting="unsafe")  # trunc toward zero (>=0)
+            out[ne_idx[doc_pos:end]] = np.minimum.reduceat(m32, local_starts, axis=0)
         else:
-            np.copyto(m32, m, casting="unsafe")
-        local_starts = (ne_starts[doc_pos:end] - lo).astype(np.intp)
-        reduced = np.minimum.reduceat(m32, local_starts, axis=0)
-        out[ne_idx[doc_pos:end]] = reduced
+            # min-reduce directly on the exact float64 values (< 2^32), then
+            # convert only the reduced (n_docs × S) block — skips one full
+            # (shingles × S) copy pass
+            reduced = np.minimum.reduceat(m, local_starts, axis=0)
+            out[ne_idx[doc_pos:end]] = reduced.astype(np.uint32)
     return out
 
 
@@ -530,10 +548,20 @@ def _simhash_mix(h64: np.ndarray) -> np.ndarray:
 
     a, b = seeded_coefficients(SIMHASH_MIX_SEED, 2)
     coeffs = _prep_coeff_limbs(a, b)
-    m = _mulshift_high32(np.ascontiguousarray(h64, dtype=np.uint64), coeffs)
-    hi = m[:, 0].astype(np.uint64)
-    lo = m[:, 1].astype(np.uint64)
-    return (hi << np.uint64(32)) | lo
+    h = np.ascontiguousarray(h64, dtype=np.uint64)
+    n = int(h.shape[0])
+    out = np.empty(n, dtype=np.uint64)
+    # block with one reused scratch — an unblocked call allocates ~80 B of
+    # fresh scratch per shingle, which page-faults on this host class
+    rows = max(1, min(BLOCK_ELEMS // 2, n))
+    scratch = _MulShiftScratch(rows, 2)
+    for lo_i in range(0, n, rows):
+        hi_i = min(lo_i + rows, n)
+        m = _mulshift_high32(h[lo_i:hi_i], coeffs, scratch)
+        out[lo_i:hi_i] = (m[:, 0].astype(np.uint64) << np.uint64(32)) | m[:, 1].astype(
+            np.uint64
+        )
+    return out
 
 
 def simhash_from_hashes(
@@ -561,7 +589,14 @@ def simhash_from_hashes(
 def simhash_batch(
     hashes_concat: np.ndarray, counts: np.ndarray
 ) -> np.ndarray:
-    """Batched simhash → uint64[n_docs] via add.reduceat over sign matrices."""
+    """Batched simhash → uint64[n_docs].
+
+    Per-bit-plane loop with reused buffers: acc_j > 0 ⟺ 2·Σ bit_j > count,
+    so each of the 64 planes is one shift/and pass + one add.reduceat over
+    the shingle stream.  (The former (shingles × 64) int32 sign matrix
+    allocated ~250 B/shingle fresh per Arrow batch — a page-fault hotspot on
+    this host class, see BENCH.md; shifts/ands on uint64 are SIMD-cheap,
+    only u64 multiply is slow.)"""
     n_docs = int(counts.shape[0])
     out = np.zeros(n_docs, dtype=np.uint64)
     if hashes_concat.size == 0:
@@ -570,16 +605,15 @@ def simhash_batch(
     nonempty = counts > 0
     starts_all = np.concatenate(([0], np.cumsum(counts)[:-1]))
     ne_idx = np.nonzero(nonempty)[0]
-    signs = (
-        2
-        * ((mixed[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
-        - 1
-    )
-    sums = np.add.reduceat(signs, starts_all[ne_idx].astype(np.intp), axis=0)
-    with np.errstate(over="ignore"):
-        fps = ((sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
-            axis=1, dtype=np.uint64
-        )
+    idx = starts_all[ne_idx].astype(np.intp)
+    ne_counts = counts[ne_idx].astype(np.uint64)
+    fps = np.zeros(ne_idx.shape[0], dtype=np.uint64)
+    bits = np.empty(mixed.shape[0], dtype=np.uint64)
+    for j in range(64):
+        np.right_shift(mixed, np.uint64(j), out=bits)
+        np.bitwise_and(bits, np.uint64(1), out=bits)
+        sums = np.add.reduceat(bits, idx)
+        fps |= (2 * sums > ne_counts).astype(np.uint64) << np.uint64(j)
     out[ne_idx] = fps
     return out
 

