@@ -303,6 +303,15 @@ def _q_shared_bands_pairs(spark, sf_dir):
     )
 
 
+def _q_query_candidates(spark, sf_dir):
+    # L6 candidate query (probe = doc 0's text): broadcast probe bands →
+    # equi-join bands table → distinct doc ids
+    sig = _sigs(spark, sf_dir)
+    bands = ops.bands_table(sig)
+    probe = _docs(spark, sf_dir).where("doc_id = 0").head().text
+    return ops.query_candidates(spark, [(0, probe)], bands, CFG).select("doc_id")
+
+
 def _q_query_scored(spark, sf_dir):
     # L7 scored query against a fixed probe text (doc 0).  Emits the integer
     # matching-slot count (score * signature_size, exact in double) instead
@@ -341,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_overlap_pairs": _q_weighted_overlap_pairs,
         "shared_bands_pairs": _q_shared_bands_pairs,
         "suffix_matches": _q_suffix_matches,
+        "query_candidates": _q_query_candidates,
         "query_with_scores": _q_query_scored,
     }
 
@@ -509,6 +519,20 @@ def _doc_fingerprint_sql(window: int = 64) -> str:
     ORDER BY d.doc_id"""
 
 
+def _query_candidates_sql() -> str:
+    """L6 twin: distinct gated docs sharing >= 1 band with doc 0's bands."""
+    return f"""WITH {D.coeff_cte(CFG)},
+  {D.gated_docs_cte(CFG, "documents")},
+  {D.shingles_cte(CFG)},
+  {D.signatures_cte()},
+  {D.bands_cte(CFG)},
+  probe_bands AS (SELECT band_idx, band_hash FROM bands WHERE doc_id = 0)
+  SELECT DISTINCT b.doc_id
+  FROM bands b JOIN probe_bands p
+    ON b.band_idx = p.band_idx AND b.band_hash = p.band_hash
+  ORDER BY b.doc_id"""
+
+
 def _query_scored_sql() -> str:
     """L7 scored query twin: probe = doc 0's text, so the probe's bands and
     signature are exactly doc 0's rows in the shared CTEs.  Candidates =
@@ -672,6 +696,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": _quality_sql(),
         "langid": _langid_sql(),
         "doc_fingerprint": _doc_fingerprint_sql(),
+        "query_candidates": _query_candidates_sql(),
         "query_with_scores": _query_scored_sql(),
         "weighted_signature_slots": D.weighted_signature_slots_sql(
             CFG, WEIGHTED_FIXTURE, where=SLOT_SCOPE

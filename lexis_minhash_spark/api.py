@@ -22,7 +22,13 @@ from __future__ import annotations
 
 import numpy as np
 
-from lexis_minhash_spark.config import DEFAULT_CONFIG, EngineConfig
+from lexis_minhash_spark.config import (
+    DEFAULT_CONFIG,
+    EngineConfig,
+    configure,  # re-exported porting shims (engine/config.cr:73-91)
+    current_config,
+    reset_config,
+)
 from lexis_minhash_spark import kernels as K
 
 
@@ -37,9 +43,10 @@ def _apply_stop_words(normalized: str, cfg: EngineConfig) -> str:
 def compute_signature(
     text: str,
     weights: dict[str, float] | None = None,
-    cfg: EngineConfig = DEFAULT_CONFIG,
+    cfg: EngineConfig | None = None,
 ) -> np.ndarray:
     """Signature of one text (engine.cr:107-115 / 203-228) → uint32 array."""
+    cfg = cfg or current_config()
     a, b = cfg.coefficients
     norm = _apply_stop_words(K.normalize_text(text), cfg)
     if not K.passes_gates(norm, cfg.min_words, cfg.shingle_size):
@@ -64,9 +71,10 @@ def compute_signature(
 def compute_signature_from_hashes(
     hashes,
     weights=None,
-    cfg: EngineConfig = DEFAULT_CONFIG,
+    cfg: EngineConfig | None = None,
 ) -> np.ndarray:
     """engine/signature.cr:33-71 — caller-supplied uint64 hash stream."""
+    cfg = cfg or current_config()
     a, b = cfg.coefficients
     h = np.asarray(hashes, dtype=np.uint64)
     if weights is None:
@@ -86,22 +94,24 @@ def similarity(sig1, sig2) -> float:
 
 
 def generate_bands(
-    signature, bands: int | None = None, cfg: EngineConfig = DEFAULT_CONFIG
+    signature, bands: int | None = None, cfg: EngineConfig | None = None
 ) -> list[tuple[int, int]]:
     """engine.cr:426-456 — incl. the quirk: a ``bands`` override keeps
     rows_per_band from the config (only the first bands*rows slots hash)."""
+    cfg = cfg or current_config()
     nb = bands if bands is not None else cfg.num_bands
     sig = np.asarray(signature, dtype=np.uint32)
     bh = K.band_hashes_batch(sig[None, :], nb, cfg.rows_per_band)[0]
     return [(i, int(bh[i])) for i in range(nb)]
 
 
-def detection_probability(s: float, cfg: EngineConfig = DEFAULT_CONFIG) -> float:
+def detection_probability(s: float, cfg: EngineConfig | None = None) -> float:
     """engine.cr:460-464."""
+    cfg = cfg or current_config()
     return K.detection_probability(s, cfg.num_bands, cfg.rows_per_band)
 
 
-def compare(doc1: str, doc2: str, cfg: EngineConfig = DEFAULT_CONFIG) -> float:
+def compare(doc1: str, doc2: str, cfg: EngineConfig | None = None) -> float:
     """Spec'd one-shot comparison helper
     (openspec/specs/document-comparison-helper/spec.md:6-16):
     compute both signatures and return their similarity."""
@@ -113,9 +123,10 @@ def prehash_weights(weights: dict[str, float]) -> dict[int, float]:
     return {K.shingle_hash_for(k): v for k, v in weights.items()}
 
 
-def exact_jaccard(doc1: str, doc2: str, cfg: EngineConfig = DEFAULT_CONFIG) -> float:
+def exact_jaccard(doc1: str, doc2: str, cfg: EngineConfig | None = None) -> float:
     """Spec'd exact Jaccard over distinct shingle-hash sets
     (openspec/specs/jaccard-similarity/spec.md:6-23)."""
+    cfg = cfg or current_config()
     s1 = set(
         K.shingle_hashes_text(K.normalize_text(doc1), cfg.shingle_size).tolist()
     )

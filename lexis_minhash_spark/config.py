@@ -124,3 +124,49 @@ def _coefficients_cached(seed: int, signature_size: int) -> tuple[np.ndarray, np
 
 
 DEFAULT_CONFIG = EngineConfig()
+
+# ---------------------------------------------------------------------------
+# Engine.configure / reset_config porting shim (engine/config.cr:73-91)
+# ---------------------------------------------------------------------------
+# The reference keeps a mutex-guarded global default config.  The Spark
+# engine deliberately passes an immutable EngineConfig explicitly through
+# every dataflow stage (a mutated global could never reach already-launched
+# executors — the config is captured in UDF closures at plan-build time).
+# This shim exists so driver-side call sites of the reference's convenience
+# API (`Engine.configure(...)` then `Engine.compute_signature(text)`) port
+# 1:1: it only affects the api.py convenience functions' default.
+
+import threading as _threading
+
+_CONFIG_LOCK = _threading.Lock()
+_CURRENT_CONFIG: EngineConfig = DEFAULT_CONFIG
+
+
+def configure(**kwargs) -> EngineConfig:
+    """Set the process-global default config (reference Engine.configure,
+    engine/config.cr:73-85).  Unknown keys raise; returns the new config.
+    Driver-side convenience only — dataflow stages take explicit configs."""
+    global _CURRENT_CONFIG
+    with _CONFIG_LOCK:
+        base = _CURRENT_CONFIG.to_dict()
+        for k in kwargs:
+            if k not in base:
+                raise TypeError(f"unknown config field {k!r}")
+        base.update(kwargs)
+        base["stop_words"] = tuple(base["stop_words"])
+        _CURRENT_CONFIG = EngineConfig(**base)
+        return _CURRENT_CONFIG
+
+
+def reset_config() -> EngineConfig:
+    """Restore the built-in defaults (reference Engine.reset_config,
+    engine/config.cr:87-91)."""
+    global _CURRENT_CONFIG
+    with _CONFIG_LOCK:
+        _CURRENT_CONFIG = DEFAULT_CONFIG
+        return _CURRENT_CONFIG
+
+
+def current_config() -> EngineConfig:
+    """The config used by api.py convenience functions when none is given."""
+    return _CURRENT_CONFIG

@@ -481,8 +481,26 @@ def overlap_coefficient(a: np.ndarray, b: np.ndarray) -> float:
         return 0.0
     inter = np.intersect1d(a, b, assume_unique=False).size
     # reference counts multiset matches two-pointer style; on distinct-sorted
-    # inputs (its documented contract) intersect1d is identical
+    # inputs (its documented contract) intersect1d is identical — see
+    # overlap_coefficient_multiset for exact parity on non-distinct input
     return float(inter) / float(min(a.size, b.size))
+
+
+def overlap_coefficient_multiset(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact twin of the reference's two-pointer ``fast_overlap``
+    (similarity.cr:53-69) on NON-distinct input: a value appearing c1 times
+    in one array and c2 in the other contributes min(c1, c2) matches;
+    denominator = min(len(a), len(b)).  Identical to overlap_coefficient on
+    the documented sorted-distinct contract."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    if a.size == 0 or b.size == 0:
+        return 0.0
+    va, ca = np.unique(a, return_counts=True)
+    vb, cb = np.unique(b, return_counts=True)
+    _, ia, ib = np.intersect1d(va, vb, assume_unique=True, return_indices=True)
+    matches = int(np.minimum(ca[ia], cb[ib]).sum())
+    return float(matches) / float(min(a.size, b.size))
 
 
 def weighted_overlap(a: dict[str, float], b: dict[str, float]) -> float:
@@ -515,8 +533,22 @@ def shared_bands(bands1: np.ndarray, bands2: np.ndarray) -> int:
 # ---------------------------------------------------------------------------
 
 def signature_to_bytes(signature: np.ndarray) -> bytes:
-    """Explicit little-endian uint32 blob (engine/serialize.cr:5-14)."""
+    """Explicit little-endian uint32 blob (engine/serialize.cr:5-14).
+
+    This is the repo's ONE canonical wire format.  The reference also has a
+    native-endian ``Signature#to_blob`` (engine.cr:48-51); see
+    signature_to_bytes_native."""
     return np.ascontiguousarray(signature, dtype="<u4").tobytes()
+
+
+def signature_to_bytes_native(signature: np.ndarray) -> bytes:
+    """Native-endian twin of the reference's ``Signature#to_blob``
+    (engine.cr:48-51).  On every little-endian host (x86-64, aarch64 in LE
+    mode — all Spark deployment targets) the bytes are identical to
+    signature_to_bytes; it exists so ported call sites keep their
+    semantics documented.  Round-trips through bytes_to_signature only on
+    little-endian hosts (the canonical format is explicitly LE)."""
+    return np.ascontiguousarray(signature, dtype=np.uint32).tobytes()
 
 
 def bytes_to_signature(blob: bytes) -> np.ndarray:

@@ -79,12 +79,20 @@ class DedupPipeline:
         df.write.mode("overwrite").parquet(path)
         out = self.spark.read.parquet(path)
         rows = out.count()
+        # per-partition lineage (north_rule): row histogram of the
+        # checkpointed stage output, keyed by partition id
+        part_rows = sorted(
+            (int(r["pid"]), int(r["count"]))
+            for r in out.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+        )
         wall_ms = int((time.monotonic() - t0) * 1000)
         self.results.append(StageResult(stage, path, rows, wall_ms, skipped=False))
-        self._append_metrics(stage, rows, wall_ms)
+        self._append_metrics(stage, rows, wall_ms, part_rows)
         return out
 
-    def _append_metrics(self, stage: str, rows: int, wall_ms: int) -> None:
+    def _append_metrics(
+        self, stage: str, rows: int, wall_ms: int, part_rows: list | None = None
+    ) -> None:
         rec = {
             "stage": stage,
             "rows": rows,
@@ -105,6 +113,10 @@ class DedupPipeline:
                         "output": self._path(stage),
                         "config": self.cfg.to_dict(),
                         "parent": self.results[-2].path if len(self.results) >= 2 else self.input_desc,
+                        # per-partition (pid, rows) histogram, truncated for
+                        # pathological partition counts
+                        "partitions": (part_rows or [])[:1024],
+                        "n_partitions": len(part_rows or []),
                     }
                 )
                 + "\n"

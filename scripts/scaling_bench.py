@@ -71,6 +71,8 @@ def main():
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--clips", type=int, default=50000)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--quiet", type=float, default=3.0,
+                    help="1-min loadavg gate before each rep")
     args = ap.parse_args()
 
     corpus = f"/tmp/lexis_bench_corpus_{args.clips}_42"
@@ -85,10 +87,11 @@ def main():
             check=True, timeout=1800, cwd="/root/repo",
         )
 
-    def wait_for_quiet(max_wait: int = 900, threshold: float = 3.0) -> float:
+    def wait_for_quiet(max_wait: int = 900, threshold: float = None) -> float:
         """Co-tenant noise gate: wait until 1-min loadavg < threshold."""
         import time as _t
 
+        threshold = args.quiet if threshold is None else threshold
         waited = 0
         while waited < max_wait:
             load = os.getloadavg()[0]

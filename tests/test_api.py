@@ -95,3 +95,85 @@ class TestStopWords:
         c1 = EngineConfig(seed=12345)
         c2 = EngineConfig(seed=12345, stop_words=("x",))
         assert c1.config_hash() != c2.config_hash()
+
+
+class TestConfigureShim:
+    def test_configure_and_reset(self):
+        from lexis_minhash_spark import config as C
+
+        t = "The quick brown fox jumps over the lazy dog"
+        try:
+            default_sig = api.compute_signature(t)
+            cfg = C.configure(seed=999, shingle_size=4)
+            assert cfg.seed == 999 and cfg.shingle_size == 4
+            assert C.current_config() is cfg
+            got = api.compute_signature(t)
+            exp = api.compute_signature(t, cfg=EngineConfig(seed=999, shingle_size=4))
+            assert got.tolist() == exp.tolist()
+            assert got.tolist() != default_sig.tolist()
+        finally:
+            C.reset_config()
+        assert api.compute_signature(t).tolist() == default_sig.tolist()
+
+    def test_configure_rejects_unknown_field(self):
+        from lexis_minhash_spark import config as C
+
+        with pytest.raises(TypeError):
+            C.configure(not_a_field=1)
+        assert C.current_config().seed == 12345
+
+    def test_configure_validates_band_divisibility(self):
+        from lexis_minhash_spark import config as C
+
+        with pytest.raises(ValueError):
+            C.configure(signature_size=101)
+        C.reset_config()
+
+
+class TestSerializationTwins:
+    def test_native_blob_equals_le_on_little_endian_hosts(self):
+        import sys
+
+        from lexis_minhash_spark import kernels as K
+
+        sig = api.compute_signature("The quick brown fox jumps over the lazy dog", cfg=CFG)
+        le = K.signature_to_bytes(sig)
+        native = K.signature_to_bytes_native(sig)
+        if sys.byteorder == "little":  # every Spark deployment target
+            assert native == le
+        assert K.bytes_to_signature(le).tolist() == sig.tolist()
+
+
+class TestMultisetOverlap:
+    def test_matches_two_pointer_reference_semantics(self):
+        import random
+
+        from lexis_minhash_spark import kernels as K
+
+        def two_pointer(a, b):
+            # independent restatement of similarity.cr:53-69
+            if not a or not b:
+                return 0.0
+            a, b = sorted(a), sorted(b)
+            i = j = m = 0
+            while i < len(a) and j < len(b):
+                if a[i] == b[j]:
+                    m += 1
+                    i += 1
+                    j += 1
+                elif a[i] < b[j]:
+                    i += 1
+                else:
+                    j += 1
+            return m / min(len(a), len(b))
+
+        rng = random.Random(11)
+        for _ in range(50):
+            a = [rng.randrange(8) for _ in range(rng.randrange(12))]
+            b = [rng.randrange(8) for _ in range(rng.randrange(12))]
+            got = K.overlap_coefficient_multiset(np.array(sorted(a)), np.array(sorted(b)))
+            assert got == pytest.approx(two_pointer(a, b), abs=1e-12)
+        # on distinct input it equals the set-based overlap
+        a = np.array([1, 2, 3, 9])
+        b = np.array([2, 3, 4])
+        assert K.overlap_coefficient_multiset(a, b) == K.overlap_coefficient(a, b)

@@ -165,6 +165,25 @@ class TestCheckpointResume:
         stages = [m["stage"] for m in p2.metrics()]
         assert "signatures" in stages and "clusters" in stages
 
+    def test_per_partition_lineage_recorded(self, spark, tmp_path):
+        import json as _json
+
+        workdir = str(tmp_path / "ckpt_lineage")
+        docs = spark.createDataFrame(
+            [(i, f"document number {i} with several words here") for i in range(20)],
+            "doc_id long, text string",
+        )
+        p = DedupPipeline(spark, CFG, workdir, input_desc="lineage-docs")
+        p.run(docs)
+        with open(f"{workdir}/_lineage.jsonl") as f:
+            recs = [_json.loads(l) for l in f if l.strip()]
+        by_stage = {r["stage"]: r for r in recs}
+        assert "signatures" in by_stage and "clusters" in by_stage
+        for stage in ("signatures", "clusters"):
+            r = by_stage[stage]
+            assert r["n_partitions"] >= 1
+            assert sum(rows for _, rows in r["partitions"]) == 20
+
     def test_pipeline_with_non_default_id_col(self, spark, tmp_path):
         # regression: id_col must thread through bands/verified/clusters
         # (jobs/dedup_job.py defaults to --id-col clip_id)
