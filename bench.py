@@ -39,6 +39,17 @@ SEED = 42
 CFG = EngineConfig(seed=12345)
 
 
+def ensure_audio_corpus(spark, n_clips: int) -> str:
+    """Synthesize (once) a with-audio clips corpus (WAV blobs)."""
+    path = f"/tmp/lexis_bench_audio_{n_clips}_{SEED}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from lexis_minhash_spark.sources.synth import clips_spark_df
+
+        sdf, _ = clips_spark_df(spark, n_clips=n_clips, seed=SEED)
+        sdf.repartition(CPUS).write.mode("overwrite").parquet(path)
+    return path
+
+
 def ensure_corpus(spark, n_clips: int) -> str:
     """Synthesize (once) and return the parquet path of the bench corpus."""
     path = f"/tmp/lexis_bench_corpus_{n_clips}_{SEED}"
@@ -122,6 +133,18 @@ def main() -> None:
         ddocs, n=3, threshold=0.2, max_doc_freq=1000
     ).count()
     queries["ngram_jaccard"] = round(time.monotonic() - t0, 3)
+
+    # -- audio near-dup (decode → envelope fingerprint → LSH → verify) -------
+    from lexis_minhash_spark.operators.audio_dedup import audio_near_dup_pairs
+
+    n_audio = int(os.environ.get("SPARK_GRAFT_BENCH_AUDIO_CLIPS", "5000"))
+    audio_path = ensure_audio_corpus(spark, n_audio)
+    clips = spark.read.parquet(audio_path)
+    t0 = time.monotonic()
+    extras["audio_pair_count"] = audio_near_dup_pairs(clips, threshold=0.25).count()
+    t_audio = time.monotonic() - t0
+    queries["audio_dedup"] = round(t_audio, 3)
+    extras["audio_clips_per_sec"] = round(n_audio / t_audio, 1)
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     qvec = emb.where("vec_id = 0").head().embedding

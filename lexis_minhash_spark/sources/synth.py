@@ -63,7 +63,11 @@ def _mutate(rng: np.random.Generator, words: list[str], rate: float) -> list[str
 
 
 def _tone(rng: np.random.Generator, sr_hz: int, dur_ms: int) -> np.ndarray:
-    """Seeded sum-of-sines + noise, float64 in [-1, 1)."""
+    """Seeded sum-of-sines with slow amplitude modulation + noise, float64
+    in [-1, 1).  The AM envelope (0.5–4 Hz) gives each clip the temporal
+    energy structure real audio has — a bare stationary tone's flat
+    envelope makes envelope-based fingerprints degenerate (every frame in
+    one quantization bin)."""
     n = int(sr_hz * dur_ms / 1000)
     t = np.arange(n, dtype=np.float64) / sr_hz
     sig = np.zeros(n)
@@ -72,6 +76,9 @@ def _tone(rng: np.random.Generator, sr_hz: int, dur_ms: int) -> np.ndarray:
         amp = float(rng.uniform(0.1, 0.3))
         phase = float(rng.uniform(0, 2 * np.pi))
         sig += amp * np.sin(2 * np.pi * f * t + phase)
+    f_am = float(rng.uniform(0.5, 4.0))
+    ph_am = float(rng.uniform(0, 2 * np.pi))
+    sig *= 0.55 + 0.45 * np.sin(2 * np.pi * f_am * t + ph_am)
     sig += rng.normal(0, 0.01, n)
     return np.clip(sig, -0.99, 0.99)
 

@@ -134,6 +134,63 @@ class TestEndToEndRecall:
             assert got[d] == exp_cc.get(d, d)
 
 
+class TestAudioNearDup:
+    def test_recovers_planted_audio_clusters(self, spark):
+        from itertools import combinations
+
+        from lexis_minhash_spark.operators.audio_dedup import audio_near_dup_pairs
+
+        clips, truth = synth.clips_spark_df(spark, n_clips=150, seed=31)
+        got = {
+            (r.a, r.b)
+            for r in audio_near_dup_pairs(clips, threshold=0.25).collect()
+        }
+        members: dict[str, list[str]] = {}
+        for r in truth.collect():
+            members.setdefault(r.cluster_id, []).append(r.clip_id)
+        true_pairs = {
+            (min(x, y), max(x, y))
+            for ids in members.values()
+            for x, y in combinations(sorted(ids), 2)
+        }
+        assert true_pairs, "fixture must plant duplicate audio"
+        recall = len(got & true_pairs) / len(true_pairs)
+        assert recall >= 0.9, (recall, len(true_pairs), len(got))
+        # the planted perturbation keeps SNR >= ~40 dB, so true pairs sit
+        # well above threshold; false pairs are rare degenerate
+        # constant-envelope tone collisions
+        precision = len(got & true_pairs) / max(len(got), 1)
+        assert precision >= 0.8, (precision, len(got - true_pairs))
+
+    def test_signature_schema_matches_text_path(self, spark):
+        from lexis_minhash_spark.operators.audio_dedup import with_audio_signatures
+
+        clips, _ = synth.clips_spark_df(spark, n_clips=20, seed=5)
+        sig = with_audio_signatures(clips, CFG)
+        assert set(sig.columns) == {
+            "clip_id", "sig", "sig_arr", "bands", "is_zero", "n_shingles"
+        }
+        rows = sig.collect()
+        assert len(rows) == 20
+        for r in rows:
+            assert len(r.sig) == CFG.signature_size * 4
+            assert len(r.bands) == CFG.num_bands
+            if r.is_zero:
+                assert r.n_shingles == 0
+
+    def test_too_short_clips_quarantined(self, spark):
+        from lexis_minhash_spark.operators.audio_dedup import with_audio_signatures
+
+        samples = (np.sin(np.arange(160) / 5.0) * 20000).astype(np.int16)
+        tiny = audio.pcm16_to_wav(samples, 16000)  # 10 ms @ 16 kHz → 0 frames...
+        df = spark.createDataFrame(
+            [("c1", bytearray(tiny), 16000, 10, "pcm_s16le", "x")],
+            "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+        )
+        rows = with_audio_signatures(df, CFG).collect()
+        assert rows[0].is_zero is True
+
+
 class TestCheckpointResume:
     def test_resume_skips_completed_stages(self, spark, tmp_path):
         workdir = str(tmp_path / "ckpt")
