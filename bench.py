@@ -139,7 +139,9 @@ def main() -> None:
 
     n_audio = int(os.environ.get("SPARK_GRAFT_BENCH_AUDIO_CLIPS", "5000"))
     audio_path = ensure_audio_corpus(spark, n_audio)
-    clips = spark.read.parquet(audio_path)
+    # maxPartitionBytes packs the ~300 MB of WAV blobs into ~3 input splits;
+    # spread the decode-heavy UDF across cores
+    clips = spark.read.parquet(audio_path).repartition(CPUS)
     t0 = time.monotonic()
     extras["audio_pair_count"] = audio_near_dup_pairs(clips, threshold=0.25).count()
     t_audio = time.monotonic() - t0

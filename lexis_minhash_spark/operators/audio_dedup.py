@@ -186,9 +186,12 @@ def audio_near_dup_pairs(
     text default b=20/r=5 (t ≈ 0.55) would silently drop ~half the
     candidates at s ≈ 0.5."""
     cfg = cfg or EngineConfig(seed=12345, num_bands=50)
+    # persist: the signature table feeds the bands explode AND both sides
+    # of the verify join — unpersisted, the decode+fingerprint UDF would
+    # execute three times
     sig = with_audio_signatures(
         clips, cfg, id_col=id_col, frame_ms=frame_ms, window_frames=window_frames
-    )
+    ).persist()
     bands = ops.bands_table(sig, id_col=id_col)
     cands = (
         ops.candidate_pairs_grouped(bands, id_col=id_col, max_bucket_size=max_bucket_size)
