@@ -239,6 +239,25 @@ class _MulShiftScratch:
         self.fw = np.empty((max_rows, s), dtype=np.float64)
 
 
+# One cached scratch per (rows, s) shape, keyed on last use.  The pandas
+# UDFs call minhash_batch once per Arrow batch; without the cache every
+# batch re-allocates ~50 MB of scratch, which page-faults on this host
+# class (BENCH.md).  Python workers are single-threaded, and the buffers
+# are fully overwritten per call, so reuse across calls is safe.
+_SCRATCH_CACHE: dict[tuple[int, int], _MulShiftScratch] = {}
+
+
+def _get_scratch(max_rows: int, s: int) -> _MulShiftScratch:
+    key = (max_rows, s)
+    sc = _SCRATCH_CACHE.get(key)
+    if sc is None:
+        if len(_SCRATCH_CACHE) >= 4:  # bounded RSS across shapes
+            _SCRATCH_CACHE.clear()
+        sc = _MulShiftScratch(max_rows, s)
+        _SCRATCH_CACHE[key] = sc
+    return sc
+
+
 def _mulshift_high32(
     h: np.ndarray,
     coeffs,
@@ -262,7 +281,7 @@ def _mulshift_high32(
     n = int(h.shape[0])
     s = ca.shape[1]
     if scratch is None or scratch.max_rows < n:
-        scratch = _MulShiftScratch(n, s)
+        scratch = _get_scratch(n, s)
     two16, inv32, two32 = 65536.0, 2.0**-32, 4294967296.0
     # 16-bit limbs via zero-copy little-endian view
     h_lim = scratch.h_lim[:n]
@@ -395,7 +414,7 @@ def minhash_batch(
             for i in range(len(block_bounds) - 1)
             if block_bounds[i] < block_bounds[i + 1]
         )
-    scratch = _MulShiftScratch(max_rows, s)
+    scratch = _get_scratch(max_rows, s)
     for bi in range(len(block_bounds) - 1):
         doc_pos, end = block_bounds[bi], block_bounds[bi + 1]
         if doc_pos >= end:
@@ -404,7 +423,7 @@ def minhash_batch(
         hi = int(ne_starts[end - 1] + ne_counts[end - 1])
         n_rows = hi - lo
         if n_rows > scratch.max_rows:  # lone doc larger than the block budget
-            scratch = _MulShiftScratch(n_rows, s)
+            scratch = _get_scratch(n_rows, s)
         m = _mulshift_high32(h[lo:hi], coeffs, scratch)
         local_starts = (ne_starts[doc_pos:end] - lo).astype(np.intp)
         if w is not None:
@@ -586,7 +605,7 @@ def _simhash_mix(h64: np.ndarray) -> np.ndarray:
     # block with one reused scratch — an unblocked call allocates ~80 B of
     # fresh scratch per shingle, which page-faults on this host class
     rows = max(1, min(BLOCK_ELEMS // 2, n))
-    scratch = _MulShiftScratch(rows, 2)
+    scratch = _get_scratch(rows, 2)
     for lo_i in range(0, n, rows):
         hi_i = min(lo_i + rows, n)
         m = _mulshift_high32(h[lo_i:hi_i], coeffs, scratch)
