@@ -20,6 +20,12 @@ storage-agnostic.
 Local smoke run:
     python jobs/dedup_job.py --input /root/testdata/sf0.001/documents.parquet \
         --workdir /tmp/dedup_smoke --text-col text --id-col doc_id
+
+Audio mode (dedup on the decoded PCM envelope instead of the transcript;
+use the sensitive band config — envelope Jaccard for true near-dups sits
+lower than text shingle Jaccard):
+    ... jobs/dedup_job.py --input <warehouse>/clips --workdir <prefix> \
+        --mode audio --id-col clip_id --num-bands 50 --threshold 0.25
 """
 
 from __future__ import annotations
@@ -58,6 +64,14 @@ def main() -> int:
     ap.add_argument("--workdir", required=True, help="checkpoint prefix for stage tables")
     ap.add_argument("--text-col", default="transcript")
     ap.add_argument("--id-col", default="clip_id")
+    ap.add_argument(
+        "--mode",
+        choices=("text", "audio"),
+        default="text",
+        help="text: MinHash over --text-col; audio: decode the bytes/codec/"
+        "sr_hz columns and fingerprint the PCM envelope (same downstream "
+        "LSH/verify/cluster stages)",
+    )
     ap.add_argument("--seed", type=int, default=12345)
     ap.add_argument("--signature-size", type=int, default=100)
     ap.add_argument("--num-bands", type=int, default=20)
@@ -92,7 +106,14 @@ def main() -> int:
         max_bucket_size=args.max_bucket_size,
         input_desc=args.input,
     )
-    clusters = pipe.run(docs, text_col=args.text_col, id_col=args.id_col)
+    signature_fn = None
+    if args.mode == "audio":
+        from lexis_minhash_spark.operators.audio_dedup import with_audio_signatures
+
+        signature_fn = lambda d: with_audio_signatures(d, cfg, id_col=args.id_col)
+    clusters = pipe.run(
+        docs, text_col=args.text_col, id_col=args.id_col, signature_fn=signature_fn
+    )
     n = clusters.count()
     n_clusters = clusters.select("cluster_id").distinct().count()
     print(json.dumps({

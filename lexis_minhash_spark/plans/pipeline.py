@@ -125,12 +125,22 @@ class DedupPipeline:
     # -- pipeline ------------------------------------------------------------
 
     def run(
-        self, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+        self,
+        docs: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        signature_fn=None,
     ) -> DataFrame:
-        """Full flagship pipeline; returns the clusters DataFrame."""
-        sig = self._run_stage(
-            "signatures", lambda: ops.with_signatures(docs, self.cfg, text_col, id_col)
-        )
+        """Full flagship pipeline; returns the clusters DataFrame.
+
+        ``signature_fn(docs) -> DataFrame`` overrides the signature stage
+        (must produce the ops.SIGNATURE_STRUCT columns keyed by ``id_col``)
+        — e.g. operators.audio_dedup.with_audio_signatures to dedup on the
+        decoded audio instead of the transcript; every downstream stage is
+        payload-agnostic."""
+        if signature_fn is None:
+            signature_fn = lambda d: ops.with_signatures(d, self.cfg, text_col, id_col)
+        sig = self._run_stage("signatures", lambda: signature_fn(docs))
         bands = self._run_stage("bands", lambda: ops.bands_table(sig, id_col=id_col))
         cands = self._run_stage(
             "candidates",

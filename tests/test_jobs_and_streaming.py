@@ -39,6 +39,27 @@ class TestDedupJob:
         assert res2["rows"] == res["rows"] and res2["clusters"] == res["clusters"]
         assert all(s["skipped"] for s in res2["stages"])
 
+    def test_cli_audio_mode(self, spark, tmp_path):
+        from lexis_minhash_spark.sources.synth import clips_spark_df
+
+        src = str(tmp_path / "clips")
+        clips, _ = clips_spark_df(spark, n_clips=60, seed=3)
+        clips.write.mode("overwrite").parquet(src)
+        workdir = str(tmp_path / "audio_run")
+        cmd = [
+            sys.executable, "jobs/dedup_job.py",
+            "--input", src, "--workdir", workdir,
+            "--mode", "audio", "--id-col", "clip_id",
+            "--num-bands", "50", "--threshold", "0.25",
+            "--local", "local[4]",
+        ]
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=600, cwd="/root/repo")
+        assert out.returncode == 0, out.stderr[-2000:]
+        res = json.loads([l for l in out.stdout.splitlines() if l.strip().startswith("{")][-1])
+        assert res["rows"] == 60
+        # planted audio dups collapse: fewer clusters than rows
+        assert res["clusters"] < 60
+
     def test_pyfiles_zip_builds(self, tmp_path):
         out = subprocess.run(
             ["sh", "scripts/make_pyfiles.sh"], capture_output=True, text=True,

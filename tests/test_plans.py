@@ -114,3 +114,31 @@ class TestStagePlans:
         plan = plan_of(exact_duplicate_groups(docs))
         # map-side partial agg before the shuffle (HashAggregate x2)
         assert plan.count("HashAggregate") >= 2, plan
+
+    def test_ngram_jaccard_is_pure_sql(self, spark, docs):
+        from lexis_minhash_spark.operators.dedup import ngram_jaccard_pairs
+
+        plan = plan_of(ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_doc_freq=100))
+        # posting-list formulation: no Python eval nodes anywhere
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    def test_audio_signature_single_arrow_pass(self, spark):
+        from lexis_minhash_spark.operators.audio_dedup import with_audio_signatures
+        from lexis_minhash_spark.sources.synth import clips_spark_df
+
+        clips, _ = clips_spark_df(spark, n_clips=10, seed=1)
+        plan = plan_of(with_audio_signatures(clips, CFG))
+        assert plan.count("ArrowEvalPython") == 1, plan
+
+    def test_ann_candidate_dedup_carries_ids_only(self, spark):
+        from lexis_minhash_spark.operators.dedup import lsh_bucketed_cosine_pairs
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = plan_of(lsh_bucketed_cosine_pairs(emb, dim=64, threshold=0.9))
+        # the candidate-pair distinct must aggregate on (a, b) alone — the
+        # embedding vectors re-join AFTER the dedup
+        import re as _re
+
+        m = _re.search(r"HashAggregate\(keys=\[a[^\]]*\bb[^\]]*\]", plan)
+        assert m, plan
+        assert "embedding" not in m.group(0), m.group(0)
