@@ -28,6 +28,12 @@ def main():
     cands = ops.candidate_pairs_grouped(bands, max_bucket_size=10000)
     from lexis_minhash_spark.operators.dedup import exact_duplicate_groups
 
+    from lexis_minhash_spark.operators.dedup import (
+        lsh_bucketed_cosine_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     sections = [
         ("Signature stage (one ArrowEvalPython pass, pruned scan)",
          fmt(sig.select("doc_id", "is_zero", "n_shingles"))),
@@ -39,6 +45,10 @@ def main():
          fmt(ops.query_candidates(spark, [(0, "probe text for plan dump")], bands, cfg))),
         ("Exact dedup (map-side partial aggregation)",
          fmt(exact_duplicate_groups(docs))),
+        ("n-gram Jaccard (posting lists, pure SQL — no Python eval nodes)",
+         fmt(ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_doc_freq=100))),
+        ("Embedding ANN (ids-only candidate dedup; vectors re-join post-distinct)",
+         fmt(lsh_bucketed_cosine_pairs(emb, dim=64, threshold=0.9))),
     ]
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("# PLANS — formatted physical plans of the core stages\n\n")
