@@ -106,7 +106,11 @@ def main() -> None:
 
     t0 = time.monotonic()
     sim = with_simhash(docs, CFG)
-    n_sim_pairs = simhash_candidate_pairs(sim, max_hamming=3).count()
+    # hot-block cap in the headline path (count + anti-join BEFORE the block
+    # self-join): non-binding on this corpus (max block bucket = 13 at 50k
+    # clips), so the pair count is identical to uncapped — the cap exists to
+    # quarantine a constant block key across templated docs at 100 TB
+    n_sim_pairs = simhash_candidate_pairs(sim, max_hamming=3, max_bucket_size=10_000).count()
     queries["simhash_pairs"] = round(time.monotonic() - t0, 3)
     extras["simhash_pair_count"] = n_sim_pairs
     sig.unpersist()

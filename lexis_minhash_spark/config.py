@@ -144,11 +144,17 @@ _CURRENT_CONFIG: EngineConfig = DEFAULT_CONFIG
 
 def configure(**kwargs) -> EngineConfig:
     """Set the process-global default config (reference Engine.configure,
-    engine/config.cr:73-85).  Unknown keys raise; returns the new config.
-    Driver-side convenience only — dataflow stages take explicit configs."""
+    engine/config.cr:79-96).  Unknown keys raise; returns the new config.
+    Driver-side convenience only — dataflow stages take explicit configs.
+
+    Reference parity: ``Engine.configure`` takes DEFAULTED keyword args, so
+    every parameter NOT passed resets to the built-in default on each call
+    (``configure(min_words: 10)`` then ``configure(num_bands: 25)`` leaves
+    min_words back at 4).  The update therefore bases on DEFAULT_CONFIG,
+    not the current config (round-2 advice)."""
     global _CURRENT_CONFIG
     with _CONFIG_LOCK:
-        base = _CURRENT_CONFIG.to_dict()
+        base = DEFAULT_CONFIG.to_dict()
         for k in kwargs:
             if k not in base:
                 raise TypeError(f"unknown config field {k!r}")

@@ -27,6 +27,7 @@ engine.cr:426-456) applied to a quantized audio byte stream.
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -94,7 +95,16 @@ def audio_signature_udf(
                 if blob is None or len(blob) == 0:
                     streams.append(np.empty(0, dtype=np.uint8))
                     continue
-                pcm = decode_clip(bytes(blob), str(codec))
+                # undecodable rows (malformed container, unsupported codec)
+                # are quarantined as zero signatures instead of failing the
+                # stage — same philosophy as the zero-sig text gate
+                # (round-2 advice): one bad blob in 10^12 must not kill the
+                # job; zero-sig rows are already excluded from banding.
+                try:
+                    pcm = decode_clip(bytes(blob), str(codec))
+                except (ValueError, NotImplementedError, struct.error):
+                    streams.append(np.empty(0, dtype=np.uint8))
+                    continue
                 streams.append(quantize_envelope(pcm, int(sr), frame_ms))
             lens = np.array([s.shape[0] for s in streams], dtype=np.int64)
             counts = np.maximum(lens - (window_frames - 1), 0)
@@ -188,14 +198,20 @@ def audio_near_dup_pairs(
     cfg = cfg or EngineConfig(seed=12345, num_bands=50)
     # persist: the signature table feeds the bands explode AND both sides
     # of the verify join — unpersisted, the decode+fingerprint UDF would
-    # execute three times
+    # execute three times.  The result is eagerly localCheckpoint'ed so the
+    # cache can be released before returning (round-2 advice: repeated
+    # calls in a long-lived session must not accumulate cached blocks);
+    # the returned pair list is small and reusable without recomputation.
     sig = with_audio_signatures(
         clips, cfg, id_col=id_col, frame_ms=frame_ms, window_frames=window_frames
     ).persist()
-    bands = ops.bands_table(sig, id_col=id_col)
-    cands = (
-        ops.candidate_pairs_grouped(bands, id_col=id_col, max_bucket_size=max_bucket_size)
-        if max_bucket_size is not None
-        else ops.candidate_pairs(bands, id_col=id_col)
-    )
-    return ops.verified_pairs(cands, sig, threshold, id_col=id_col)
+    try:
+        bands = ops.bands_table(sig, id_col=id_col)
+        cands = (
+            ops.candidate_pairs_grouped(bands, id_col=id_col, max_bucket_size=max_bucket_size)
+            if max_bucket_size is not None
+            else ops.candidate_pairs(bands, id_col=id_col)
+        )
+        return ops.verified_pairs(cands, sig, threshold, id_col=id_col).localCheckpoint()
+    finally:
+        sig.unpersist()

@@ -115,6 +115,21 @@ class TestConfigureShim:
             C.reset_config()
         assert api.compute_signature(t).tolist() == default_sig.tolist()
 
+    def test_configure_resets_unspecified_params(self):
+        # reference parity (engine/config.cr:79-96): Engine.configure takes
+        # DEFAULTED keyword args, so sequential calls do NOT layer — every
+        # parameter not passed resets to the built-in default
+        from lexis_minhash_spark import config as C
+
+        try:
+            C.configure(min_words=10)
+            assert C.current_config().min_words == 10
+            C.configure(num_bands=25)
+            assert C.current_config().num_bands == 25
+            assert C.current_config().min_words == 4  # reset, not layered
+        finally:
+            C.reset_config()
+
     def test_configure_rejects_unknown_field(self):
         from lexis_minhash_spark import config as C
 

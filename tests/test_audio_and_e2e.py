@@ -190,6 +190,29 @@ class TestAudioNearDup:
         rows = with_audio_signatures(df, CFG).collect()
         assert rows[0].is_zero is True
 
+    def test_undecodable_rows_quarantined_not_fatal(self, spark):
+        # round-2 advice: one malformed blob / unsupported codec must not
+        # fail the stage — undecodable rows become zero signatures and good
+        # rows in the same Arrow batch are unaffected
+        from lexis_minhash_spark.operators.audio_dedup import with_audio_signatures
+
+        samples = (np.sin(np.arange(32000) / 5.0) * 20000).astype(np.int16)
+        good = audio.pcm16_to_wav(samples, 16000)
+        rows_in = [
+            ("good", bytearray(good), 16000, 2000, "pcm_s16le", "x"),
+            ("trunc", bytearray(b"RIFFxxxx"), 16000, 2000, "pcm_s16le", "x"),
+            ("garbage", bytearray(b"not a wav at all, just junk bytes"), 16000, 2000, "pcm_s16le", "x"),
+            ("badcodec", bytearray(good), 16000, 2000, "opus", "x"),
+        ]
+        df = spark.createDataFrame(
+            rows_in,
+            "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+        ).coalesce(1)  # one Arrow batch: bad rows sit next to the good one
+        got = {r.clip_id: r for r in with_audio_signatures(df, CFG).collect()}
+        assert got["good"].is_zero is False and got["good"].n_shingles > 0
+        for cid in ("trunc", "garbage", "badcodec"):
+            assert got[cid].is_zero is True, cid
+
 
 class TestCheckpointResume:
     def test_resume_skips_completed_stages(self, spark, tmp_path):

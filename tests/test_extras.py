@@ -96,12 +96,15 @@ class TestDedup:
         # containing the last word → inter=6, union=8, jaccard=0.75
         assert got[(1, 2)] == pytest.approx(6 / 8, abs=1e-6)
 
-    def test_ngram_jaccard_cap_exact_over_capped_universe(self, spark):
-        # gram "a b c" appears in all 4 docs (df=4 > cap=3) → quarantined;
-        # denominators must be recomputed over the SURVIVING gram universe:
-        # doc1 {b c d, c d e, d e f}, doc2 {b c d, c d e, d e g} →
-        # inter=2, union=4 → jaccard=0.5 (biased-low 2/(4+4-2)=0.33 with the
-        # old uncorrected denominators; 0.6 uncapped)
+    def test_ngram_jaccard_cap_is_conservative(self, spark):
+        # gram "a b c" appears in all 4 docs (df=4 > cap=3) → quarantined
+        # from pair generation, but denominators stay the FULL distinct-gram
+        # counts (round-2 advice): doc1 {a b c, b c d, c d e, d e f} (4),
+        # doc2 {a b c, b c d, c d e, d e g} (4), surviving inter=2 →
+        # jaccard = 2/(4+4-2) = 1/3 < uncapped 3/5.  The cap may only LOWER
+        # a score — never raise it (the surviving-universe variant scored
+        # 2/4 = 0.5 here and could reach 1.0 on boilerplate-heavy corpora,
+        # causing false-positive deletions).
         df = spark.createDataFrame(
             [
                 (1, "a b c d e f"),
@@ -113,14 +116,17 @@ class TestDedup:
         )
         uncapped = {
             (r.a, r.b): r.jaccard
-            for r in dedup.ngram_jaccard_pairs(df, n=3, threshold=0.4, max_doc_freq=None).collect()
+            for r in dedup.ngram_jaccard_pairs(df, n=3, threshold=0.3, max_doc_freq=None).collect()
         }
         assert uncapped[(1, 2)] == pytest.approx(3 / 5, abs=1e-6)
         capped = {
             (r.a, r.b): r.jaccard
-            for r in dedup.ngram_jaccard_pairs(df, n=3, threshold=0.4, max_doc_freq=3).collect()
+            for r in dedup.ngram_jaccard_pairs(df, n=3, threshold=0.3, max_doc_freq=3).collect()
         }
-        assert capped[(1, 2)] == pytest.approx(2 / 4, abs=1e-6)
+        assert capped[(1, 2)] == pytest.approx(1 / 3, abs=1e-6)
+        # conservative invariant: every capped score <= its uncapped score
+        for k, v in capped.items():
+            assert v <= uncapped[k] + 1e-9
         # docs sharing ONLY the hot gram produce no pair
         assert (3, 4) not in capped
 

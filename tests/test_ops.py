@@ -123,6 +123,24 @@ class TestPairsAndClusters:
         uncapped = ops.candidate_pairs(bands)
         assert uncapped.count() == 60 * 59 // 2
 
+    def test_hot_bucket_cap_grouped_mega_bucket(self, spark):
+        # mega-bucket skew test (round-2 verdict item #1): one bucket far
+        # over the cap must be quarantined by the PRE-aggregation anti-join
+        # (the id array never materializes — pinned by the plan test), while
+        # genuine pairs in small buckets survive untouched.
+        mega = [(i, "identical hot bucket text for skew handling test") for i in range(200)]
+        near = [
+            (1001, "a genuinely distinct pair of sentences about spark lsh"),
+            (1002, "a genuinely distinct pair of sentences about spark lsh"),
+        ]
+        docs = spark.createDataFrame(mega + near, "doc_id long, text string")
+        bands = ops.bands_table(ops.with_signatures(docs, CFG))
+        capped = {(r.a, r.b) for r in ops.candidate_pairs_grouped(bands, max_bucket_size=50).collect()}
+        assert capped == {(1001, 1002)}
+        # uncapped sanity: the mega bucket contributes its full pair set
+        uncapped = ops.candidate_pairs_grouped(bands, max_bucket_size=None)
+        assert uncapped.count() == 200 * 199 // 2 + 1
+
 
 class TestQueries:
     def test_query_candidates_match_oracle(self, spark, sig_df):

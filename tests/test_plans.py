@@ -82,19 +82,46 @@ class TestStagePlans:
         finally:
             sig_cached.unpersist()
 
-    def test_grouped_candidates_single_shuffle_of_bands(self, spark, docs):
+    def test_grouped_candidates_shuffle_budget(self, spark, docs):
         sig = ops.with_signatures(docs, CFG).cache()
         try:
             bands = ops.bands_table(sig)
             cands = ops.candidate_pairs_grouped(bands, max_bucket_size=1000)
             plan = plan_of(cands)
-            # one exchange for the groupBy(band), one for the final distinct —
-            # but NOT two scans/shuffles of the bands table (the self-join
-            # variant shuffles bands twice)
+            # exchanges: count-only cap agg [1] + posting groupBy(band) [2]
+            # + final distinct [3].  The cap agg partial-aggregates map-side
+            # so only (key, count) rows move; NOT a second full shuffle of
+            # the bands table like the self-join variant.
             n_exchanges = plan.count("Exchange hashpartitioning")
-            assert n_exchanges <= 2, plan
+            assert n_exchanges <= 3, plan
         finally:
             sig.unpersist()
+
+    def test_grouped_candidates_cap_precedes_collect_set(self, spark, docs):
+        # round-2 verdict item #1: the hot-bucket filter must run BEFORE the
+        # array aggregation, so a pathological bucket's id array is never
+        # materialized in any task.  In the executed plan tree (printed
+        # root-first) the collect_set aggregate must therefore appear ABOVE
+        # (= consume) the broadcast anti-join.
+        sig = ops.with_signatures(docs, CFG).cache()
+        try:
+            bands = ops.bands_table(sig)
+            plan = plan_of(ops.candidate_pairs_grouped(bands, max_bucket_size=1000))
+            assert "LeftAnti" in plan, plan
+            agg_pos = plan.index("collect_set")
+            anti_pos = plan.index("LeftAnti")
+            assert agg_pos < anti_pos, plan
+            # and no post-agg size cap remains (only the >= 2 pair filter)
+            assert not re.search(r"size\(ids[^)]*\) <= ", plan), plan
+        finally:
+            sig.unpersist()
+
+    def test_ngram_cap_precedes_collect_set(self, spark, docs):
+        from lexis_minhash_spark.operators.dedup import ngram_jaccard_pairs
+
+        plan = plan_of(ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_doc_freq=100))
+        assert "LeftAnti" in plan, plan
+        assert plan.index("collect_set") < plan.index("LeftAnti"), plan
 
     def test_query_uses_broadcast_join(self, spark, docs):
         sig = ops.with_signatures(docs, CFG).cache()
