@@ -9,9 +9,10 @@ oracle_sql()   — DuckDB twins.  The MinHash/LSH stages are checked
                  pairs, verified pairs, and clusters from the raw parquet.
                  Weighted MinHash, simhash fingerprints, and the
                  overlap/Jaccard/weighted-overlap/shared-bands micro
-                 operators also have SQL oracles.  Genuinely non-SQL ops
-                 (suffix-array, hyperplane ANN, popcount pair join, u64
-                 fingerprint, probe-band query) are rows-only.
+                 operators also have SQL oracles, and the suffix-array
+                 operator has an independent exact-LCS twin (20-gram join +
+                 longest diagonal run — no suffix array involved).  Every
+                 queries() entry now carries an oracle.
 """
 
 from __future__ import annotations
@@ -528,6 +529,56 @@ def _doc_fingerprint_sql(window: int = 64) -> str:
     ORDER BY d.doc_id"""
 
 
+def _suffix_matches_sql() -> str:
+    """Exact-LCS twin of the suffix-array operator (closes round 2's last
+    ``no_oracle`` row).  Independent formulation: intra-cluster doc pairs
+    (clusters via the same recursive-closure CTEs as the clusters oracle)
+    joined on equal 20-char substrings; for a pair, the longest common
+    substring is 19 + the longest run of CONSECUTIVE matching 20-gram
+    positions on one diagonal (ia - ib constant): an LCS of length L >= 20
+    yields exactly L-19 consecutive matches on its diagonal, and any run of
+    r consecutive matches certifies a common substring of r+19 chars — so
+    max(run)+19 is exact, with no suffix array involved."""
+    return f"""{D._pairs_ctes(CFG, "documents", "TRUE", recursive=True)},
+  edges AS (
+    SELECT a AS src, b AS dst FROM verified WHERE similarity >= {THRESHOLD}
+    UNION ALL
+    SELECT b, a FROM verified WHERE similarity >= {THRESHOLD}
+  ),
+  reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+  ),
+  comp AS (
+    SELECT src AS doc_id, least(min(dst), src) AS cluster_id
+    FROM reach GROUP BY src
+  ),
+  members AS (
+    SELECT c.cluster_id, c.doc_id, replace(d.text, chr(0), '') AS t
+    FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+  ),
+  grams20 AS (
+    SELECT cluster_id, doc_id, i, substring(t, i::INT, 20) AS g
+    FROM members, UNNEST(range(1, length(t) - 18)) AS u(i)
+  ),
+  hits AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, x.i AS ia, (x.i - y.i) AS diag
+    FROM grams20 x JOIN grams20 y
+      ON x.cluster_id = y.cluster_id AND x.g = y.g AND x.doc_id < y.doc_id
+  ),
+  runs AS (
+    SELECT a, b, diag,
+           ia - row_number() OVER (PARTITION BY a, b, diag ORDER BY ia) AS grp
+    FROM hits
+  ),
+  runlens AS (
+    SELECT a, b, count(*) AS run FROM runs GROUP BY a, b, diag, grp
+  )
+  SELECT a, b, (max(run) + 19)::INT AS common_len
+  FROM runlens GROUP BY a, b ORDER BY a, b"""
+
+
 def _query_candidates_sql() -> str:
     """L6 twin: distinct gated docs sharing >= 1 band with doc 0's bands."""
     return f"""WITH {D.coeff_cte(CFG)},
@@ -713,5 +764,5 @@ def oracle_sql() -> dict[str, str]:
         "overlap_pairs": _overlap_pairs_sql(),
         "weighted_overlap_pairs": _weighted_overlap_pairs_sql(),
         "shared_bands_pairs": _shared_bands_pairs_sql(),
-        # rows-only (non-SQL-expressible): suffix_matches (suffix array)
+        "suffix_matches": _suffix_matches_sql(),
     }

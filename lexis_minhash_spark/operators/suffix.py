@@ -6,24 +6,32 @@ of at least ``min_len`` characters.  At 100 TB you never build one global
 suffix array; you build one per *candidate group* (LSH cluster / band
 bucket), which keeps every group's text in one task's memory.  Expressed as
 ``groupBy(group_id).applyInPandas`` so Spark shuffles each group to one task
-and the per-group kernel is vectorized NumPy.
+and the per-group kernel is vectorized NumPy.  Oversized groups are
+quarantined BEFORE the shuffle (a count/sum pre-aggregation + join), so a
+pathological group's text never moves.
 
-Per-group kernel:
-  1. concatenate member texts with ``\\x00`` separators (codepoint array via
-     utf-32 so indexing is codepoint-exact),
+Per-group kernel (exact, O(L log L + P) where P = emitted pairs):
+  1. concatenate member codepoint arrays with per-document UNIQUE separator
+     values above the Unicode range (0x110000 + doc index).  Unique
+     separators can never match each other, so no common prefix of two
+     suffixes ever crosses a document boundary — LCPs are automatically
+     clamped at document ends, with no explicit clamping step.
   2. build the suffix array by Manber–Myers prefix doubling — O(L log L),
-     fully vectorized (argsort/lexsort), keeping every doubling level's rank
-     array,
-  3. for each document pair, the longest shared substring is attained at
-     adjacent cross-owner suffixes in the merged SA order (standard LCP
-     property; holds under doc-boundary clamping because the separator
-     ``\\x00`` sorts below all text and cannot occur inside a match), so we
-     compute those LCPs with vectorized binary lifting over the saved rank
-     levels and clamp each to ``min(lcp, doc_end_a - a, doc_end_b - b)`` —
-     matches can therefore never cross a document boundary.
+     fully vectorized (argsort/lexsort).  Rank levels are retained as
+     uint32 (not int64) so an L-char group holds ~4·L·log2(L) bytes of
+     levels — the binary-lifting LCP index.
+  3. compute the LCP between each pair of ADJACENT text suffixes in SA
+     order (one vectorized binary-lifting pass — separator-starting
+     suffixes sort after every text suffix, so dropping them keeps the
+     text region contiguous).
+  4. merge adjacent SA runs in DECREASING adjacent-LCP order with a
+     union-find; when two runs join at LCP value v, every (owner x, owner y)
+     pair meeting for the FIRST time has longest common substring exactly v
+     (max-bottleneck property of the SA LCP range-minimum).  Owner sets
+     merge small-into-large, so total pair enumeration is O(P + d log d) —
+     replacing the round-2 O(d^2·L) per-pair masking loop.
 
-Owner lookup is ``np.searchsorted`` over document start offsets (O(log d)
-per suffix, vectorized).
+Owner lookup is ``np.searchsorted`` over document start offsets.
 """
 
 from __future__ import annotations
@@ -48,14 +56,18 @@ MATCH_SCHEMA = StructType(
     ]
 )
 
+# first codepoint above the Unicode range: separator for doc i is SEP_BASE+i
+SEP_BASE = 0x110000
+
 
 def build_suffix_array(codes: np.ndarray) -> tuple[np.ndarray, list[tuple[int, np.ndarray]]]:
-    """Manber–Myers prefix-doubling suffix array over a codepoint array.
+    """Manber–Myers prefix-doubling suffix array over an integer code array.
 
     Returns (sa, levels) where ``levels`` is [(k, rank_k), ...] with
-    ``rank_k[i]`` = rank of the length-k prefix of suffix i (out-of-bounds
-    padded with a sentinel smaller than everything).  The levels enable
-    O(log L) LCP queries for arbitrary suffix pairs (binary lifting).
+    ``rank_k[i]`` = rank of the length-k prefix of suffix i.  Levels are
+    stored as uint32 (ranks < n <= 2^32), bounding the retained index to
+    ~4·n·log2(n) bytes.  They enable O(log L) LCP queries for arbitrary
+    suffix pairs (binary lifting).
     """
     n = int(codes.size)
     if n == 0:
@@ -64,7 +76,7 @@ def build_suffix_array(codes: np.ndarray) -> tuple[np.ndarray, list[tuple[int, n
     rank = np.empty(n, np.int64)
     sc = codes[order]
     rank[order] = np.cumsum(np.concatenate(([0], (sc[1:] != sc[:-1]).astype(np.int64))))
-    levels: list[tuple[int, np.ndarray]] = [(1, rank.copy())]
+    levels: list[tuple[int, np.ndarray]] = [(1, rank.astype(np.uint32))]
     k = 1
     while k < n and rank[order[-1]] < n - 1:
         rank2 = np.full(n, -1, np.int64)
@@ -79,7 +91,7 @@ def build_suffix_array(codes: np.ndarray) -> tuple[np.ndarray, list[tuple[int, n
         new_rank[order] = np.cumsum(diff)
         rank = new_rank
         k *= 2
-        levels.append((k, rank.copy()))
+        levels.append((k, rank.astype(np.uint32)))
     sa = order
     return sa, levels
 
@@ -116,59 +128,89 @@ def _group_matches(
     texts = pdf["text"].astype(str).str.replace("\x00", "", regex=False).tolist()
     d = len(ids)
     if d < 2 or d > max_group_docs:
-        # oversized groups are quarantined (same philosophy as hot LSH
-        # buckets); a near-dup candidate group this large is pathological
+        # backstop only — exact_substring_matches quarantines oversized
+        # groups BEFORE the shuffle (same philosophy as hot LSH buckets)
         return empty
     total = sum(len(t) for t in texts) + d
     if total > max_group_chars:
         return empty
 
+    # python string twin (for substring extraction): \x00 separators sit at
+    # the same offsets as the unique separator codes below
     s = "\x00".join(texts)
-    # codepoint array (utf-32 little-endian) so offsets are codepoint-exact
-    codes = np.frombuffer(s.encode("utf-32-le"), dtype="<u4")
-    n = codes.size
     lens = np.array([len(t) for t in texts], dtype=np.int64)
     starts = np.concatenate(([0], np.cumsum(lens[:-1] + 1)))
     ends = starts + lens
+    parts: list[np.ndarray] = []
+    for di, t in enumerate(texts):
+        parts.append(
+            np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(np.int64)
+        )
+        if di < d - 1:
+            parts.append(np.array([SEP_BASE + di], dtype=np.int64))
+    codes = np.concatenate(parts) if parts else np.empty(0, np.int64)
+    n = codes.size
 
     sa, levels = build_suffix_array(codes)
-    # keep only suffixes starting inside a document (drop separators / empty)
+    # keep only suffixes starting inside a document.  Separator-starting
+    # suffixes begin with a code > every text codepoint, so they form a
+    # contiguous tail of the SA — dropping them keeps the text region's
+    # adjacency (adjacent text suffixes here are adjacent in the full SA).
     own_all = np.searchsorted(starts, sa, side="right") - 1
     in_doc = sa < ends[own_all]
     filt = sa[in_doc]
     own = own_all[in_doc]
-    rem = ends[own] - filt  # chars to the owning document's end
+    m = filt.size
+    if m < 2:
+        return empty
 
+    # adjacent LCPs; unique separators auto-clamp every LCP at doc ends
+    adj = lcp_pairs(levels, n, filt[:-1], filt[1:])
+
+    # merge boundaries in decreasing-LCP order (max-bottleneck): the first
+    # time owners x and y land in one run, their LCS is exactly that LCP
+    bnd = np.nonzero(adj >= min_len)[0]
+    if bnd.size == 0:
+        return empty
+    bnd = bnd[np.argsort(-adj[bnd], kind="stable")]
+
+    parent = np.arange(m, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    # owners[root] = {owner: representative suffix position}
+    owners: dict[int, dict[int, int]] = {}
     best: dict[tuple[int, int], tuple[int, int]] = {}
-    present = np.unique(own)
-    for xi in range(len(present)):
-        for yi in range(xi + 1, len(present)):
-            x, y = int(present[xi]), int(present[yi])
-            sel = (own == x) | (own == y)
-            fs = filt[sel]
-            os_ = own[sel]
-            rs = rem[sel]
-            if fs.size < 2:
-                continue
-            cross = os_[1:] != os_[:-1]
-            if not cross.any():
-                continue
-            ii = fs[:-1][cross]
-            jj = fs[1:][cross]
-            raw = lcp_pairs(levels, n, ii, jj)
-            # clamp to both owning documents' ends: a match never crosses a
-            # separator into another document
-            clamped = np.minimum(raw, np.minimum(rs[:-1][cross], rs[1:][cross]))
-            kbest = int(np.argmax(clamped))
-            l = int(clamped[kbest])
-            if l < min_len:
-                continue
-            ia, ib = int(ids[x]), int(ids[y])
-            key = (min(ia, ib), max(ia, ib))
-            pos = int(min(ii[kbest], jj[kbest]))
-            cur = best.get(key)
-            if cur is None or l > cur[0]:
-                best[key] = (l, pos)
+    for k in bnd:
+        v = int(adj[k])
+        ra, rb = find(int(k)), find(int(k) + 1)
+        ca = owners.pop(ra, None)
+        if ca is None:
+            ca = {int(own[ra]): int(filt[ra])}
+        cb = owners.pop(rb, None)
+        if cb is None:
+            cb = {int(own[rb]): int(filt[rb])}
+        if len(ca) > len(cb):
+            ca, cb = cb, ca
+        # enumerate cross-owner pairs: every pair meeting for the first
+        # time here has LCS exactly v (processing order is LCP-descending)
+        for ox, px in ca.items():
+            for oy, py in cb.items():
+                if ox == oy:
+                    continue
+                ia, ib = int(ids[ox]), int(ids[oy])
+                key = (ia, ib) if ia < ib else (ib, ia)
+                if key not in best:
+                    best[key] = (v, min(px, py))
+        for ox, px in ca.items():
+            cur = cb.get(ox)
+            cb[ox] = px if cur is None else min(cur, px)
+        parent[ra] = rb
+        owners[rb] = cb
 
     if not best:
         return empty
@@ -192,24 +234,41 @@ def exact_substring_matches(
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "cluster_id",
-    max_group_chars: int = 8_000_000,
+    max_group_chars: int = 2_000_000,
     max_group_docs: int = 512,
 ) -> DataFrame:
     """(docs ⋈ groups) → per-group suffix-array scan → exact-substring pairs.
 
     ``groups`` assigns each doc to a candidate group (LSH cluster id, band
-    bucket, …).  Only multi-member groups shuffle.  Returns
-    (a, b, common_len[, substring]) with a < b, strongest match per pair;
-    ``common_len`` is exact (clamped at document boundaries) and
-    ``substring`` never contains the group separator.
+    bucket, …).  Returns (a, b, common_len[, substring]) with a < b,
+    strongest match per pair; ``common_len`` is the exact longest common
+    substring length (never crossing a document boundary) and ``substring``
+    never contains the group separator.
+
+    Skew guard (round-2 verdict item #7): group size/char totals are
+    pre-aggregated (count + sum(length), partial-agg map-side) and
+    singleton or oversized groups are filtered out BEFORE the
+    ``applyInPandas`` shuffle — an over-cap group's text never moves to a
+    task.  The kernel keeps the same checks as a backstop.  The default
+    ``max_group_chars`` (2M codepoints) bounds the retained uint32 rank
+    levels to ~4·L·log2(L) ≈ 170 MB per task.
     """
     member = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")).join(
         groups.select(F.col(id_col).alias("doc_id"), F.col(group_col).alias("_g")),
         "doc_id",
     )
-    # drop singleton groups before the shuffle (they can't produce pairs)
-    sizes = member.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
-    member = member.join(sizes.where(F.col("_n") >= 2).select("_g"), "_g")
+    # pre-shuffle quarantine: same formula as the kernel backstop
+    # (sum(len) + n_docs > max_group_chars, n_docs bounds)
+    sizes = member.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.length("text")).alias("_chars"),
+    )
+    ok = sizes.where(
+        (F.col("_n") >= 2)
+        & (F.col("_n") <= max_group_docs)
+        & ((F.col("_chars") + F.col("_n")) <= max_group_chars)
+    ).select("_g")
+    member = member.join(ok, "_g")
 
     def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         return _group_matches(pdf, min_len, emit_substring, max_group_chars, max_group_docs)

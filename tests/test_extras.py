@@ -343,6 +343,34 @@ class TestSuffixArray:
         assert m[0].common_len == len(" common tail here")
         assert m[0].substring == " common tail here"
 
+    def test_oversized_groups_quarantined_before_shuffle(self, spark):
+        # round-2 verdict item #7: the group-size quarantine must run BEFORE
+        # the applyInPandas shuffle, so an over-cap group's text never moves.
+        # Plan check: a join against the pre-aggregated (count, sum(length))
+        # filter sits BELOW the FlatMapGroupsInPandas node.
+        docs = spark.createDataFrame(
+            [
+                (1, "the shared exact content block in this group"),
+                (2, "the shared exact content block in this group"),
+                (3, "an oversized group member with some long text"),
+                (4, "an oversized group member with some long text"),
+                (5, "an oversized group member with some long text"),
+            ],
+            "doc_id long, text string",
+        )
+        groups = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 2), (4, 2), (5, 2)], "doc_id long, cluster_id long"
+        )
+        df = suffix.exact_substring_matches(docs, groups, min_len=10, max_group_docs=2)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        fmg = plan.index("FlatMapGroupsInPandas")
+        assert "sum(length" in plan and "count(1)" in plan, plan
+        # the size aggregation is computed in the subtree BELOW (after, in
+        # print order) the FlatMapGroupsInPandas node — i.e. feeds it
+        assert plan.index("sum(length", fmg) > fmg, plan
+        got = {(r.a, r.b) for r in df.collect()}
+        assert got == {(1, 2)}  # group 2 (3 docs > cap) never reaches a task
+
     def test_matches_equal_brute_force_lcs(self):
         # kernel-level randomized oracle (no Spark): every doc pair's
         # common_len equals the true longest-common-substring length
