@@ -39,9 +39,13 @@ SEED = 42
 CFG = EngineConfig(seed=12345)
 
 
+# bump when sources/synth.py changes so stale /tmp corpora regenerate
+CORPUS_VERSION = "v3"
+
+
 def ensure_audio_corpus(spark, n_clips: int) -> str:
     """Synthesize (once) a with-audio clips corpus (WAV blobs)."""
-    path = f"/tmp/lexis_bench_audio_{n_clips}_{SEED}"
+    path = f"/tmp/lexis_bench_audio_{n_clips}_{SEED}_{CORPUS_VERSION}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from lexis_minhash_spark.sources.synth import clips_spark_df
 
@@ -52,7 +56,7 @@ def ensure_audio_corpus(spark, n_clips: int) -> str:
 
 def ensure_corpus(spark, n_clips: int) -> str:
     """Synthesize (once) and return the parquet path of the bench corpus."""
-    path = f"/tmp/lexis_bench_corpus_{n_clips}_{SEED}"
+    path = f"/tmp/lexis_bench_corpus_{n_clips}_{SEED}_{CORPUS_VERSION}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from lexis_minhash_spark.sources.synth import generate_clips
 
@@ -143,12 +147,20 @@ def main() -> None:
 
     n_audio = int(os.environ.get("SPARK_GRAFT_BENCH_AUDIO_CLIPS", "5000"))
     audio_path = ensure_audio_corpus(spark, n_audio)
-    # maxPartitionBytes packs the ~300 MB of WAV blobs into ~3 input splits;
-    # spread the decode-heavy UDF across cores
-    clips = spark.read.parquet(audio_path).repartition(CPUS)
-    t0 = time.monotonic()
-    extras["audio_pair_count"] = audio_near_dup_pairs(clips, threshold=0.25).count()
-    t_audio = time.monotonic() - t0
+    # parallelize at the SCAN, not with a repartition: a repartition(CPUS)
+    # shuffles the full ~300 MB of WAV blobs (write + read) before the UDF
+    # ever runs — profiled as the dominant cost of this query (the whole
+    # decode+fingerprint compute is ~2 s single-threaded).  Lowering
+    # maxPartitionBytes for this read yields one scan split per ~4 MB of
+    # blobs, so the binary column moves JVM→Arrow exactly once.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+    try:
+        clips = spark.read.parquet(audio_path)
+        t0 = time.monotonic()
+        extras["audio_pair_count"] = audio_near_dup_pairs(clips, threshold=0.25).count()
+        t_audio = time.monotonic() - t0
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     queries["audio_dedup"] = round(t_audio, 3)
     extras["audio_clips_per_sec"] = round(n_audio / t_audio, 1)
 

@@ -201,22 +201,33 @@ def _prep_coeff_limbs(a: np.ndarray, b: np.ndarray):
                         + (b2 + 2^16·b3)
 
     Every partial sum stays < 2^51 << 2^53 → float64-exact.
+
+    The returned matrices are PRESCALED by 2^-32: multiplying a coefficient
+    by a power of two scales every product and every partial sum by that
+    power exactly (float64 rounding commutes with power-of-two scaling), so
+    the matmul yields Y·2^-32 / Z·2^-32 bit-exactly while saving one full
+    (n × S) elementwise pass in the carry chain (measured ~9%; the fused
+    single-GEMM and fmod variants both measured SLOWER — see BENCH.md).
     """
     al = _u64_limbs16(a, 0)  # (4, S)
     bl = _u64_limbs16(b, 0)
     two16 = 65536.0
+    inv32 = 2.0**-32
     # bias rows are FOLDED into the coefficient matrices (the input matrices
     # carry a constant ones column), saving one full elementwise pass per
     # matmul: Y = [h0, 2^16·h1, 1] @ caY ; Z = [h0, h1, h2, 2^16·h3, 1] @ caZ
-    ca = np.vstack([al[0] + two16 * al[1], al[0], bl[0] + two16 * bl[1]])  # (3, S)
-    cz = np.vstack(
-        [
-            al[2] + two16 * al[3],
-            al[1] + two16 * al[2],
-            al[0] + two16 * al[1],
-            al[0],
-            bl[2] + two16 * bl[3],
-        ]
+    ca = np.vstack([al[0] + two16 * al[1], al[0], bl[0] + two16 * bl[1]]) * inv32
+    cz = (
+        np.vstack(
+            [
+                al[2] + two16 * al[3],
+                al[1] + two16 * al[2],
+                al[0] + two16 * al[1],
+                al[0],
+                bl[2] + two16 * bl[3],
+            ]
+        )
+        * inv32
     )  # (5, S)
     return ca, cz
 
@@ -275,8 +286,11 @@ def _mulshift_high32(
     (cross-checked against the u64 path and the scalar oracle in tests).
 
     Pass census per (shingle × S) element: 2 GEMMs (biases folded via ones
-    columns) + 3 carry passes + 4 mod-2^32 passes (fmod measured slower
-    than the explicit floor chain on this host)."""
+    columns, coefficients prescaled by 2^-32 — see _prep_coeff_limbs) +
+    6 carry/mod passes.  Negative results kept on record (BENCH.md): fmod
+    measured ~5× slower than the floor chain; fusing both GEMMs into one
+    (n×6)·(6×2S) block matmul measured ~2× slower (1.5× FLOPs + larger
+    output churn)."""
     ca, cz = coeffs
     n = int(h.shape[0])
     s = ca.shape[1]
@@ -294,17 +308,17 @@ def _mulshift_high32(
     XZ[:, 2] = h_lim[:, 2]
     np.multiply(h_lim[:, 3], two16, out=XZ[:, 3])
     Y, Z = scratch.Y[:n], scratch.Z[:n]
-    # Y = L0 + 2^16*L1 + by ; carry into bit 32 is floor(Y / 2^32)
+    # Y' = (L0 + 2^16*L1 + by)·2^-32 exactly (prescaled coefficients);
+    # the carry into bit 32 is floor(Y')
     np.matmul(XY, ca, out=Y)
-    np.multiply(Y, inv32, out=Y)
-    np.floor(Y, out=Y)            # c2
-    # Z = L2 + 2^16*L3 + bz + c2 ; H = Z mod 2^32
+    np.floor(Y, out=Y)            # c2 (integer value)
+    np.multiply(Y, inv32, out=Y)  # c2·2^-32
+    # Z' = (L2 + 2^16*L3 + bz)·2^-32 + c2·2^-32 ; H = frac(Z')·2^32
     np.matmul(XZ, cz, out=Z)
     Z += Y
-    np.multiply(Z, inv32, out=Y)
-    np.floor(Y, out=Y)
-    np.multiply(Y, two32, out=Y)
-    np.subtract(Z, Y, out=Z)      # H
+    np.floor(Z, out=Y)
+    np.subtract(Z, Y, out=Z)
+    np.multiply(Z, two32, out=Z)  # H
     return Z
 
 

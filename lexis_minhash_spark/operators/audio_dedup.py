@@ -101,7 +101,9 @@ def audio_signature_udf(
                 # (round-2 advice): one bad blob in 10^12 must not kill the
                 # job; zero-sig rows are already excluded from banding.
                 try:
-                    pcm = decode_clip(bytes(blob), str(codec))
+                    # no bytes() copy: the WAV parser works on any buffer
+                    # (slice compare + np.frombuffer)
+                    pcm = decode_clip(blob, str(codec))
                 except (ValueError, NotImplementedError, struct.error):
                     streams.append(np.empty(0, dtype=np.uint8))
                     continue
@@ -117,10 +119,11 @@ def audio_signature_udf(
             if big.size >= window_frames:
                 h_all = K.shingle_hashes_bytes(big, window_frames)
                 starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-                keep = np.zeros(h_all.shape[0], dtype=bool)
-                for i in range(n):
-                    if counts[i] > 0:
-                        keep[starts[i] : starts[i] + counts[i]] = True
+                # windows fully inside one clip: global index minus its
+                # clip's start must be < the clip's window count
+                idx = np.arange(h_all.shape[0], dtype=np.int64)
+                owner = np.searchsorted(starts, idx, side="right") - 1
+                keep = (idx - starts[owner]) < counts[owner]
                 hc = h_all[keep]
             else:
                 hc = np.empty(0, dtype=np.uint64)

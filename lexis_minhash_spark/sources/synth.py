@@ -19,24 +19,33 @@ import pandas as pd
 
 from lexis_minhash_spark.sources.audio import pcm16_to_wav
 
-def _build_vocab(n_words: int = 4000) -> tuple[str, ...]:
-    """Deterministic synthetic vocabulary. A realistic corpus has thousands
-    of distinct tokens; a tiny vocabulary makes 5-gram shingles collide
-    across UNRELATED documents, which degenerates LSH buckets
-    super-linearly with corpus size (observed: candidate pairs between
-    non-duplicates dominated the 250k-clip bench with a 56-word vocab)."""
+def _build_vocab(n_words: int = 50_000) -> tuple[str, ...]:
+    """Deterministic synthetic vocabulary (~50k words). A realistic corpus
+    has tens of thousands of distinct tokens; a small vocabulary makes
+    5-gram shingles collide across UNRELATED documents, which degenerates
+    LSH buckets super-linearly with corpus size (round 1: a 56-word vocab
+    blew up the 250k bench; round 2: the 3,360-word single-syllable vocab
+    saturated around 1M clips — candidate volume turned super-linear and
+    the scaling measurement measured the corpus, not the engine).
+
+    Single-syllable words first, then two-syllable compounds paired by the
+    bijection p → (p mod m, (p//m + p) mod m) so consecutive words differ
+    in BOTH syllables (no long prefix-sharing runs that would re-create
+    hot shingles)."""
     onsets = ["b", "br", "c", "ch", "d", "dr", "f", "fl", "g", "gr", "h", "j",
               "k", "kl", "l", "m", "n", "p", "pr", "qu", "r", "s", "st", "t",
               "tr", "v", "w", "z"]
     nuclei = ["a", "e", "i", "o", "u", "ai", "ea", "io", "ou", "ae"]
     codas = ["", "n", "r", "l", "s", "t", "m", "nd", "rk", "st", "x", "ph"]
-    words = []
-    for o in onsets:
-        for nu in nuclei:
-            for c in codas:
-                words.append(o + nu + c)
-                if len(words) >= n_words:
-                    return tuple(words)
+    singles = [o + nu + c for o in onsets for nu in nuclei for c in codas]
+    words = list(singles[:n_words])
+    m = len(singles)
+    p = 0
+    while len(words) < n_words:
+        a = p % m
+        b = (p // m + p) % m
+        words.append(singles[a] + singles[b])
+        p += 1
     return tuple(words)
 
 

@@ -75,7 +75,10 @@ def main():
                     help="1-min loadavg gate before each rep")
     args = ap.parse_args()
 
-    corpus = f"/tmp/lexis_bench_corpus_{args.clips}_42"
+    sys.path.insert(0, "/root/repo")
+    import bench as _bench
+
+    corpus = f"/tmp/lexis_bench_corpus_{args.clips}_42_{_bench.CORPUS_VERSION}"
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         # generate via bench.ensure_corpus in a subprocess
         subprocess.run(
@@ -84,7 +87,7 @@ def main():
              f"from lexis_minhash_spark.session import get_spark;"
              f"import bench; s=get_spark(master='local[8]');"
              f"bench.ensure_corpus(s, {args.clips}); s.stop()"],
-            check=True, timeout=1800, cwd="/root/repo",
+            check=True, timeout=3600, cwd="/root/repo",
         )
 
     def wait_for_quiet(max_wait: int = 900, threshold: float = None) -> float:
