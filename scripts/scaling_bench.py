@@ -104,16 +104,21 @@ def main():
             waited += 30
         return os.getloadavg()[0]
 
-    results = {}
-    for cpus in (args.n, args.n * 4):
-        times = []
-        for _ in range(args.reps):
+    # alternate 4N / N reps so each pairing samples the same co-tenant load
+    # regime (running all N reps then all 4N reps let a load shift bias one
+    # side — observed in the round-3 500k run)
+    times: dict[int, list] = {args.n: [], args.n * 4: []}
+    for rep in range(args.reps):
+        for cpus in (args.n * 4, args.n):
             load = wait_for_quiet()
             t = run_once(cpus, corpus)
-            times.append(t)
-            print(f"  local[{cpus}] rep: {t}s (loadavg at start {load:.1f})")
-        results[cpus] = min(times)
-        print(f"local[{cpus}]: reps={times} best={results[cpus]}s "
+            times[cpus].append(t)
+            print(f"  local[{cpus}] rep: {t}s (loadavg at start {load:.1f})",
+                  flush=True)
+    results = {}
+    for cpus in (args.n, args.n * 4):
+        results[cpus] = min(times[cpus])
+        print(f"local[{cpus}]: reps={times[cpus]} best={results[cpus]}s "
               f"({args.clips / results[cpus]:.0f} clips/s)")
 
     t_n, t_4n = results[args.n], results[args.n * 4]
