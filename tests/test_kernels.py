@@ -279,14 +279,24 @@ class TestBandsAndSimilarity:
         assert probs == sorted(probs)
 
     def test_shared_bands(self):
-        # openspec/specs/band-matching/spec.md: identical → NUM_BANDS
+        # openspec/specs/band-matching/spec.md:6-23, all four scenarios:
+        # identical → NUM_BANDS
         sig = np.arange(100, dtype=np.uint32)
         b1 = K.band_hashes_batch(sig[None, :], 20, 5)[0]
         assert K.shared_bands(b1, b1) == 20
+        # partial overlap → integer in [0, NUM_BANDS]
         sig2 = sig.copy()
         sig2[0] = 999
         b2 = K.band_hashes_batch(sig2[None, :], 20, 5)[0]
         assert K.shared_bands(b1, b2) == 19
+        # disjoint signatures → 0
+        b3 = K.band_hashes_batch((sig + 1000)[None, :], 20, 5)[0]
+        assert K.shared_bands(b1, b3) == 0
+        # either signature empty → 0
+        empty = np.empty(0, dtype=np.uint64)
+        assert K.shared_bands(empty, b1) == 0
+        assert K.shared_bands(b1, empty) == 0
+        assert K.shared_bands(empty, empty) == 0
 
 
 class TestSerialize:
