@@ -40,17 +40,24 @@ CFG = EngineConfig(seed=12345)
 
 
 # bump when sources/synth.py changes so stale /tmp corpora regenerate
-CORPUS_VERSION = "v3"
+CORPUS_VERSION = "v4"
 
 
 def ensure_audio_corpus(spark, n_clips: int) -> str:
-    """Synthesize (once) a with-audio clips corpus (WAV blobs)."""
+    """Synthesize (once) a with-audio clips corpus (WAV blobs).
+
+    Written as CPUS*4 files (≈2-3 MB row groups): scan splits are bounded
+    by row-group granularity, so a blob table meant for per-row decode
+    should be laid out with row groups sized for decode parallelism —
+    4× the core count keeps the decode stage straggler-resistant on a
+    co-tenant host (one stolen core delays 1/128th of the work, not
+    1/32nd).  Same practice applies to the 100 TB Iceberg layout."""
     path = f"/tmp/lexis_bench_audio_{n_clips}_{SEED}_{CORPUS_VERSION}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from lexis_minhash_spark.sources.synth import clips_spark_df
 
         sdf, _ = clips_spark_df(spark, n_clips=n_clips, seed=SEED)
-        sdf.repartition(CPUS).write.mode("overwrite").parquet(path)
+        sdf.repartition(CPUS * 4).write.mode("overwrite").parquet(path)
     return path
 
 

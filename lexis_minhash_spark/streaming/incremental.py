@@ -72,6 +72,7 @@ def foreach_batch_candidates(
     accumulated_bands_path: str,
     pairs_out_path: str,
     threshold_bands: int = 1,
+    max_bucket_size: int | None = 10_000,
 ):
     """foreachBatch hook: for each micro-batch of new signatures, emit
     candidate pairs by joining the batch's bands against the union of the
@@ -79,7 +80,13 @@ def foreach_batch_candidates(
     equivalent of the reference's query-at-add-time semantics
     (index.cr:114-163).  Joining new-vs-(old ∪ new) is what makes two
     near-duplicates arriving in the *same* micro-batch pair up; new-vs-old
-    alone silently drops them."""
+    alone silently drops them.
+
+    ``max_bucket_size`` applies the same hot-bucket quarantine as the batch
+    candidate paths (count-only aggregate + broadcast anti-join on BOTH join
+    sides BEFORE the equi-join): in continuous ingest the accumulated bands
+    table only grows, so one boilerplate band key would otherwise join every
+    future micro-batch against an ever-larger hot bucket."""
 
     def _fn(batch_sig: DataFrame, batch_id: int) -> None:
         spark = batch_sig.sparkSession
@@ -90,8 +97,18 @@ def foreach_batch_candidates(
         except Exception:
             old_bands = None
         target = new_bands if old_bands is None else new_bands.unionByName(old_bands)
+        probe = new_bands
+        if max_bucket_size is not None:
+            hot = (
+                target.groupBy("band_idx", "band_hash")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") > max_bucket_size)
+                .select("band_idx", "band_hash")
+            )
+            target = target.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
+            probe = probe.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
         pairs = (
-            new_bands.alias("n")
+            probe.alias("n")
             .join(target.alias("o"), ["band_idx", "band_hash"])
             .where(F.col("n.doc_id") != F.col("o.doc_id"))
             .select(

@@ -133,6 +133,31 @@ class TestStreamingIngest:
         pairs = {(r.a, r.b) for r in spark.read.parquet(pairs_out).collect()}
         assert pairs == {(1, 2)}
 
+    def test_foreach_batch_hot_bucket_cap(self, spark, tmp_path):
+        # continuous-ingest skew guard: a hot band bucket in the accumulated
+        # table is quarantined (both join sides) while normal pairs survive
+        bands_acc = str(tmp_path / "bands_acc")
+        pairs_out = str(tmp_path / "pairs")
+        fn = incremental.foreach_batch_candidates(bands_acc, pairs_out, max_bucket_size=10)
+        hot = [(i, "identical hot boilerplate text repeated across the corpus") for i in range(30)]
+        fn(ops.with_signatures(spark.createDataFrame(hot, "doc_id long, text string"), CFG), 0)
+        b2 = ops.with_signatures(
+            spark.createDataFrame(
+                [
+                    (100, "identical hot boilerplate text repeated across the corpus"),
+                    (101, "a genuinely distinct pair of sentences about spark lsh"),
+                    (102, "a genuinely distinct pair of sentences about spark lsh"),
+                ],
+                "doc_id long, text string",
+            ),
+            CFG,
+        )
+        fn(b2, 1)
+        pairs = {(r.a, r.b) for r in spark.read.parquet(pairs_out).collect()}
+        assert (101, 102) in pairs
+        # the 30-member hot bucket never joined (caps at 10)
+        assert not any(a < 100 or (a == 100 or b == 100) for a, b in pairs if (a, b) != (101, 102))
+
     def test_foreach_batch_pairs_within_one_microbatch(self, spark, tmp_path):
         # regression: two near-duplicates arriving in the SAME micro-batch
         # must pair (new-vs-(old ∪ new) join, not new-vs-old only)
