@@ -97,7 +97,10 @@ def main() -> None:
         .repartition(CPUS * 3)
     )
     sig = ops.with_signatures(docs, CFG).persist()
-    bands = ops.bands_table(sig)
+    # persist bands: the pre-aggregation hot-bucket cap consumes the bands
+    # table twice (count pass + collect_set pass) — unpersisted, the
+    # posexplode would recompute from sig for each
+    bands = ops.bands_table(sig).persist()
     cands = ops.candidate_pairs_grouped(bands, max_bucket_size=10_000)
     # persist the edge list: connected_components runs a size probe AND a
     # collect — unpersisted, the candidates+verify subtree executes twice
@@ -106,6 +109,7 @@ def main() -> None:
     clusters = ops.clusters_with_singletons(sig, cc)
     n_rows = clusters.count()
     n_clusters = clusters.select("cluster_id").distinct().count()
+    bands.unpersist()
     t_dedup = time.monotonic() - t0
     queries["dedup_e2e"] = round(t_dedup, 3)
     extras["dedup_rows"] = n_rows

@@ -372,44 +372,62 @@ def _cc_propagation(
     return comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
 
 
+def _cc_numpy(a_idx: np.ndarray, b_idx: np.ndarray, n: int) -> np.ndarray:
+    """Vectorized connected components over index-encoded edges:
+    alternating full pointer-jumping compression and min-hooking
+    (``np.minimum.at``).  O(log n) vectorized rounds; converges to
+    parent[x] = min index in x's component (min-label fixpoint).  Replaces
+    the pure-Python union-find loop, which cost ~15 µs/edge serial —
+    ~17 s of driver time at 1.1M edges in the 1M-clip scaling run."""
+    parent = np.arange(n, dtype=np.int64)
+    a = a_idx.astype(np.int64, copy=False)
+    b = b_idx.astype(np.int64, copy=False)
+    while True:
+        while True:
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+        ra = parent[a]
+        rb = parent[b]
+        alive = ra != rb
+        if not alive.any():
+            return parent
+        # drop settled edges — near-dup cluster edge sets collapse almost
+        # entirely after the first hook round, so later rounds gather over
+        # a small remainder instead of the full edge list
+        ra = ra[alive]
+        rb = rb[alive]
+        a = a[alive]
+        b = b[alive]
+        np.minimum.at(parent, np.maximum(ra, rb), np.minimum(ra, rb))
+
+
 def _cc_driver(edges: DataFrame) -> DataFrame:
-    """Driver-side union-find (path-halving) for small edge sets."""
+    """Driver-side vectorized components for small edge sets.
+
+    One collect round-trip (toLocalIterator issues one job per partition —
+    measured as a serial bottleneck), ids index-encoded via ``np.unique``
+    (works for int and string ids alike; min index ≡ min id in both sort
+    orders), then the NumPy pointer-jumping kernel."""
     spark = edges.sparkSession
-    parent: dict = {}
-
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    # single collect round-trip (toLocalIterator issues one job per
-    # partition — measured as a serial bottleneck in the scaling bench)
-    for a, bb in edges.select("a", "b").toPandas().itertuples(index=False):
-        ra, rb = find(a), find(bb)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
+    pdf = edges.select("a", "b").toPandas()
     id_type = edges.schema["a"].dataType
-    if isinstance(id_type, LongType):
-        # Arrow fast path (row-tuple createDataFrame is serial-slow at 100k+)
-        result = pd.DataFrame(
-            {
-                "doc_id": np.fromiter(parent.keys(), dtype=np.int64, count=len(parent)),
-                "cluster_id": np.fromiter(
-                    (find(x) for x in parent), dtype=np.int64, count=len(parent)
-                ),
-            }
+    if len(pdf) == 0:
+        schema = StructType(
+            [
+                StructField("doc_id", id_type, False),
+                StructField("cluster_id", id_type, False),
+            ]
         )
-        return spark.createDataFrame(result)
-    rows = [(x, find(x)) for x in parent]
-    schema = StructType(
-        [
-            StructField("doc_id", id_type, False),
-            StructField("cluster_id", id_type, False),
-        ]
-    )
-    return spark.createDataFrame(rows, schema)
+        return spark.createDataFrame([], schema)
+    a = pdf["a"].to_numpy()
+    b = pdf["b"].to_numpy()
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    m = len(pdf)
+    parent = _cc_numpy(inv[:m], inv[m:], nodes.shape[0])
+    result = pd.DataFrame({"doc_id": nodes, "cluster_id": nodes[parent]})
+    return spark.createDataFrame(result)
 
 
 def clusters_with_singletons(

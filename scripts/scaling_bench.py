@@ -38,9 +38,12 @@ docs.count()  # warm input (exclude scan-cache effects from the timed region)
 ops.with_signatures(docs.limit(cpus * 4), CFG).count()
 t0 = time.monotonic()
 sig = ops.with_signatures(docs, CFG).persist()
-bands = ops.bands_table(sig)
+# bands persisted: the pre-agg hot-bucket cap consumes the table twice
+bands = ops.bands_table(sig).persist()
 cands = ops.candidate_pairs_grouped(bands, max_bucket_size=10_000)
-ver = ops.verified_pairs(cands, sig, 0.75)
+# persist the edge list: the CC size probe + collect would otherwise
+# re-execute the candidates+verify subtree
+ver = ops.verified_pairs(cands, sig, 0.75).persist()
 cc = ops.connected_components(ver.select("a", "b"))
 clusters = ops.clusters_with_singletons(sig, cc)
 n = clusters.count()
