@@ -221,26 +221,23 @@ def ngram_jaccard_pairs(
         F.col(id_col),
         F.expr(f"split(trim(lower({text_col})), '\\\\s+')").alias("_w"),
     )
+    gram_arr = F.array_distinct(
+        F.expr(
+            f"CASE WHEN size(_w) >= {n} THEN"
+            f" transform(sequence(1, size(_w) - {n - 1}),"
+            f" i -> array_join(slice(_w, i, {n}), ' '))"
+            f" ELSE array() END"
+        )
+    )
     # explode the gram expression IN the projection above the token array:
     # the Generate node keeps _w materialized. (A separate grams projection
     # gets CollapseProject'd so split() is inlined into the transform lambda
     # and re-executed per gram — measured ~15× slower.)
-    ex = toks.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    f"CASE WHEN size(_w) >= {n} THEN"
-                    f" transform(sequence(1, size(_w) - {n - 1}),"
-                    f" i -> array_join(slice(_w, i, {n}), ' '))"
-                    f" ELSE array() END"
-                )
-            )
-        ).alias("gram"),
-    )
-    # FULL (pre-cap) per-doc distinct-gram counts: ex is already distinct
-    # per doc (array_distinct above), so count(1) == distinct gram count
-    n_df = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    ex = toks.select(F.col(id_col), F.explode(gram_arr).alias("gram"))
+    # FULL (pre-cap) per-doc distinct-gram counts, computed MAP-SIDE as
+    # size(array_distinct(...)) — no shuffle (the former
+    # ex.groupBy(id).count() exchanged every exploded gram row by doc id)
+    n_df = toks.select(F.col(id_col), F.size(gram_arr).alias("n_grams"))
     kept = ex
     if max_doc_freq is not None:
         hot = (
