@@ -176,6 +176,11 @@ def _q_embedding_ann(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.select("embedding").head().embedding)
+    # hot-bucket cap in the plan of record (count + broadcast anti-join
+    # BEFORE the bucket self-join, like every other candidate family):
+    # non-binding at every sf fixture (max bucket = 5 at sf0.01), so the
+    # result is identical to the uncapped DuckDB twin while the skew guard
+    # is what actually executes
     return lsh_bucketed_cosine_pairs(
         emb,
         dim=dim,
@@ -184,6 +189,7 @@ def _q_embedding_ann(spark, sf_dir):
         n_tables=ANN_TABLES,
         seed=ANN_SEED,
         scale=ANN_SCALE,
+        max_bucket_size=10_000,
     ).select("a", "b")
 
 

@@ -164,6 +164,7 @@ def main() -> None:
     # decode+fingerprint compute is ~2 s single-threaded).  Lowering
     # maxPartitionBytes for this read yields one scan split per ~4 MB of
     # blobs, so the binary column moves JVM→Arrow exactly once.
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
     try:
         clips = spark.read.parquet(audio_path)
@@ -171,7 +172,7 @@ def main() -> None:
         extras["audio_pair_count"] = audio_near_dup_pairs(clips, threshold=0.25).count()
         t_audio = time.monotonic() - t0
     finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
     queries["audio_dedup"] = round(t_audio, 3)
     extras["audio_clips_per_sec"] = round(n_audio / t_audio, 1)
 

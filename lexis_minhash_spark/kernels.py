@@ -232,6 +232,25 @@ def _prep_coeff_limbs(a: np.ndarray, b: np.ndarray):
     return ca, cz
 
 
+# Coefficient-limb cache: _prep_coeff_limbs is pure in (a, b), and the
+# pandas UDFs call minhash_batch once per Arrow batch with the SAME config
+# coefficients — uncached, the limb split + two vstacks rerun per batch
+# (round-3 verdict item #5).  Keyed on the raw coefficient bytes (S=100 →
+# 1.6 KB per key, a few configs per process); bounded like _SCRATCH_CACHE.
+_COEFF_CACHE: dict[bytes, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _coeff_limbs_cached(a: np.ndarray, b: np.ndarray):
+    key = a.tobytes() + b.tobytes()
+    c = _COEFF_CACHE.get(key)
+    if c is None:
+        if len(_COEFF_CACHE) >= 8:
+            _COEFF_CACHE.clear()
+        c = _prep_coeff_limbs(a, b)
+        _COEFF_CACHE[key] = c
+    return c
+
+
 class _MulShiftScratch:
     """Reusable block buffers.  Fresh 64 MB allocations page-fault heavily on
     microVM hosts (measured ~30x slower than ``out=`` reuse), so every
@@ -332,7 +351,7 @@ def minhash_from_hashes(
     s = a.shape[0]
     if h64.size == 0:
         return np.full(s, _U32_FULL, dtype=np.uint32)
-    coeffs = _prep_coeff_limbs(a, b)
+    coeffs = _coeff_limbs_cached(a, b)
     m = _mulshift_high32(h64.astype(np.uint64), coeffs)
     return m.min(axis=0).astype(np.uint32)
 
@@ -406,7 +425,7 @@ def minhash_batch(
 
     # block over documents so the (shingles x S) float64 intermediate stays
     # bounded; each block is one BLAS matmul set + carry chain + reduceat
-    coeffs = _prep_coeff_limbs(a, b)
+    coeffs = _coeff_limbs_cached(a, b)
     rows_per_block = max(1, BLOCK_ELEMS // s)
     # precompute block boundaries (consecutive docs until budget exceeded)
     block_bounds = [0]
@@ -612,7 +631,7 @@ def _simhash_mix(h64: np.ndarray) -> np.ndarray:
     from lexis_minhash_spark.config import seeded_coefficients
 
     a, b = seeded_coefficients(SIMHASH_MIX_SEED, 2)
-    coeffs = _prep_coeff_limbs(a, b)
+    coeffs = _coeff_limbs_cached(a, b)
     h = np.ascontiguousarray(h64, dtype=np.uint64)
     n = int(h.shape[0])
     out = np.empty(n, dtype=np.uint64)

@@ -182,8 +182,19 @@ def audio_near_dup_pairs(
     max_bucket_size: int | None = 10_000,
     frame_ms: int = 20,
     window_frames: int = 6,
+    materialize: bool = True,
 ) -> DataFrame:
     """End-to-end audio near-dup pairs: (a, b, similarity) with a < b.
+
+    EAGER by default: with ``materialize=True`` the result is computed and
+    ``localCheckpoint``-ed before returning, so the signature cache can be
+    released immediately and repeated actions on the returned (small) pair
+    list never re-decode the corpus.  ``localCheckpoint`` stores blocks
+    unreplicated on executors — on a real cluster, an executor loss makes
+    the returned DataFrame unrecoverable (round-3 advice).  Cluster jobs
+    that need a durable result should pass ``materialize=False`` (lazy
+    plan, lineage retained; the caller manages persisting/writing — e.g.
+    jobs/dedup_job.py writes each stage to checkpointed parquet instead).
 
     threshold is on MinHash-estimated Jaccard of the quantized-envelope
     shingle sets; re-noised copies of one recording (SNR ≥ ~30 dB) keep
@@ -207,7 +218,22 @@ def audio_near_dup_pairs(
     # the returned pair list is small and reusable without recomputation.
     sig = with_audio_signatures(
         clips, cfg, id_col=id_col, frame_ms=frame_ms, window_frames=window_frames
-    ).persist()
+    )
+    if not materialize:
+        # lazy: persist (NOT localCheckpoint — lineage retained, so lost
+        # blocks recompute on a cluster) and leave the cache to the caller/
+        # session to release; the signature table feeds the bands explode
+        # AND both verify-join sides, so an unpersisted plan would decode
+        # the corpus three times
+        sig = sig.persist()
+        bands = ops.bands_table(sig, id_col=id_col)
+        cands = (
+            ops.candidate_pairs_grouped(bands, id_col=id_col, max_bucket_size=max_bucket_size)
+            if max_bucket_size is not None
+            else ops.candidate_pairs(bands, id_col=id_col)
+        )
+        return ops.verified_pairs(cands, sig, threshold, id_col=id_col)
+    sig = sig.persist()
     try:
         bands = ops.bands_table(sig, id_col=id_col)
         cands = (

@@ -29,31 +29,43 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Edges (u,v) both directions → (v, m) for v > u-side min."""
+    """Edges (u,v) both directions → (v, m) for v > u-side min.
+
+    No per-node neighbor array is ever materialized (round-3 verdict
+    item #4): the per-node minimum m = least(min(b), a) partial-aggregates
+    map-side — a 10^7-degree hub of a giant boilerplate cluster costs one
+    scalar per task, not one 10^7-element array in one aggregation row —
+    and the (node → m) table joins BACK to the symmetric edge list to emit
+    (v, m) per over-min neighbor.  The join shuffles the edge list by node
+    once, the same movement the former collect_set groupBy performed, with
+    a bounded row width."""
     nbrs = _symmetrize(edges)
-    grouped = nbrs.groupBy("a").agg(
-        F.least(F.min("b"), F.col("a")).alias("m"), F.collect_set("b").alias("ns")
-    )
+    mins = nbrs.groupBy("a").agg(F.least(F.min("b"), F.col("a")).alias("m"))
     return (
-        grouped.select("a", "m", F.explode("ns").alias("v"))
-        .where(F.col("v") > F.col("a"))
-        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        nbrs.join(mins, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """Canonical edges (u→smaller v) → connect all small neighbors to min."""
+    """Canonical edges (u→smaller v) → connect all small neighbors to min.
+
+    Same array-free formulation as _large_star: m = min over canonical
+    neighbors (all < a, so m < a always), emit (v, m) for every canonical
+    neighbor v != m plus the center (a, m) itself."""
     canon = _symmetrize(edges).where(F.col("b") < F.col("a"))
-    grouped = canon.groupBy("a").agg(
-        F.min("b").alias("m"), F.collect_set("b").alias("ns")
+    mins = canon.groupBy("a").agg(F.min("b").alias("m"))
+    nbr_edges = (
+        canon.join(mins, "a")
+        .where(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
     )
-    out = grouped.select(
-        "a", "m", F.explode(F.array_union("ns", F.array("a"))).alias("v")
-    ).where((F.col("v") != F.col("m")))
+    center_edges = mins.select(F.col("a"), F.col("m").alias("b"))
     return (
-        out.select(F.col("v").alias("a"), F.col("m").alias("b"))
+        nbr_edges.union(center_edges)
         .where(F.col("a") != F.col("b"))
         .distinct()
     )

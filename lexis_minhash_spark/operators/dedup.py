@@ -212,11 +212,22 @@ def ngram_jaccard_pairs(
     projection boundary because the alias is referenced 3×; the inlined
     form re-splits per reference and measures ~5× slower).
 
-    Shuffle census: denominators groupBy(id) [1]; hot-gram count
-    groupBy(gram) [2, capped path only — partial agg, tiny]; posting-list
-    groupBy(gram) [3]; pair agg [4]; two joins of the small aggregated
-    pair table against the per-doc count table.  Entirely SQL/codegen —
-    no Python in the pipeline."""
+    In the capped path the exploded gram table is persisted
+    (MEMORY_AND_DISK): the hot-count pass and the posting pass both
+    consume it, and unpersisted each would recompute the
+    split/transform/explode pipeline (measured as a 2× same-workload
+    regression in round 3).  Persisting the exploded table costs roughly
+    one shuffle-write of the same data the posting groupBy writes anyway;
+    lineage is retained, so lost blocks recompute (cluster-safe).  The
+    cache is released only when the session drops it — long-lived callers
+    issuing many capped ngram jobs can `spark.catalog.clearCache()`
+    between them.
+
+    Shuffle census: denominators groupBy(id) [none — map-side
+    size(array_distinct)]; hot-gram count groupBy(gram) [1, capped path
+    only — partial agg, tiny]; posting-list groupBy(gram) [2]; pair agg
+    [3]; two joins of the small aggregated pair table against the per-doc
+    count table.  Entirely SQL/codegen — no Python in the pipeline."""
     toks = df.select(
         F.col(id_col),
         F.expr(f"split(trim(lower({text_col})), '\\\\s+')").alias("_w"),
@@ -240,6 +251,11 @@ def ngram_jaccard_pairs(
     n_df = toks.select(F.col(id_col), F.size(gram_arr).alias("n_grams"))
     kept = ex
     if max_doc_freq is not None:
+        from pyspark import StorageLevel
+
+        # two consumers below (hot count + anti-join) — persist so the
+        # split/transform/explode pipeline runs once (see docstring)
+        ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
         hot = (
             ex.groupBy("gram")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -388,6 +404,7 @@ def lsh_bucketed_cosine_pairs(
     seed: int = 42,
     method: str = "quantized",
     scale: float = 1024.0,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Scale path for embedding near-dup: ``n_tables`` independent
     sign-projection buckets; candidates = same bucket in any table; verify
@@ -397,6 +414,16 @@ def lsh_bucketed_cosine_pairs(
     floor(v·scale) integer projections — bit-reproducible in SQL (DuckDB
     oracle) and multiply-free.  ``method='gaussian'`` keeps the classic
     float32 Gaussian planes.
+
+    ``max_bucket_size`` quarantines pathological hot buckets BEFORE the
+    self-join (count-only groupBy + broadcast anti-join — the same pattern
+    as every other candidate family).  With only 2^n_planes buckets per
+    table, a dense embedding region — or a degenerate cohort of all-zero /
+    constant vectors, which lands in bucket 0 of EVERY table — would
+    otherwise contribute m² join rows inside one partition.  A capped
+    bucket's genuinely-near pairs still meet in one of the other
+    ``n_tables - 1`` tables unless every one of their shared buckets is
+    hot.
 
     Shuffle discipline: the bucket join and the pair dedup move ONLY
     (table_idx, bucket, id) — embedding vectors are re-joined per side
@@ -419,6 +446,14 @@ def lsh_bucketed_cosine_pairs(
         id_col,
         F.posexplode(F.array(*[F.col(k) for k in keys])).alias("table_idx", "bucket"),
     )
+    if max_bucket_size is not None:
+        hot = (
+            tagged.groupBy("table_idx", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_bucket_size)
+            .select("table_idx", "bucket")
+        )
+        tagged = tagged.join(F.broadcast(hot), ["table_idx", "bucket"], "left_anti")
     a = tagged.select("table_idx", "bucket", F.col(id_col).alias("a"))
     b = tagged.select("table_idx", "bucket", F.col(id_col).alias("b"))
     cand_ids = (

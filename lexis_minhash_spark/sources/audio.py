@@ -105,7 +105,10 @@ def audio_features_udf(frame_ms: int = 100, max_frames: int = 64):
                 if blob is None:
                     rows.append((0, 0.0, 0.0, 0, []))
                     continue
-                pcm = decode_clip(bytes(blob), str(codec))
+                # no bytes() copy: decode_clip works on any buffer (slice
+                # compare + np.frombuffer) — same as the headline
+                # audio_signature_udf path
+                pcm = decode_clip(blob, str(codec))
                 n = int(pcm.shape[0])
                 rms = float(np.sqrt((pcm.astype(np.float64) ** 2).mean())) if n else 0.0
                 peak = float(np.abs(pcm).max()) if n else 0.0

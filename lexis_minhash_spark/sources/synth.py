@@ -39,12 +39,22 @@ def _build_vocab(n_words: int = 50_000) -> tuple[str, ...]:
     codas = ["", "n", "r", "l", "s", "t", "m", "nd", "rk", "st", "x", "ph"]
     singles = [o + nu + c for o in onsets for nu in nuclei for c in codas]
     words = list(singles[:n_words])
+    # distinctness guard (round-3 advice): two-syllable compounds CAN
+    # collide as strings ('ba'+'sta' == 'bas'+'ta'); skip any compound
+    # already seen so the vocabulary is exactly n_words DISTINCT tokens.
+    # At the default n_words=50,000 no collision occurs in the generated
+    # range (verified by test_vocab_distinct), so the produced vocabulary —
+    # and every corpus derived from it — is byte-identical to round 3's.
+    seen = set(words)
     m = len(singles)
     p = 0
     while len(words) < n_words:
         a = p % m
         b = (p // m + p) % m
-        words.append(singles[a] + singles[b])
+        w = singles[a] + singles[b]
+        if w not in seen:
+            words.append(w)
+            seen.add(w)
         p += 1
     return tuple(words)
 

@@ -68,11 +68,35 @@ def start_signature_sink(
     return writer.start()
 
 
+def _latest_counts_snapshot(spark, counts_path: str, before_batch: int):
+    """Largest ``snap_<id>`` dir under ``counts_path`` with id <
+    ``before_batch`` (strictly: a RETRIED micro-batch must not read its own
+    partially-written snapshot as the previous state).  Uses the Hadoop
+    FileSystem API so any scheme (file://, s3a://, ...) works."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(counts_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    best = None
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.startswith("snap_"):
+            try:
+                sid = int(name[5:])
+            except ValueError:
+                continue
+            if sid < before_batch and (best is None or sid > best):
+                best = sid
+    return best
+
+
 def foreach_batch_candidates(
     accumulated_bands_path: str,
     pairs_out_path: str,
     threshold_bands: int = 1,
     max_bucket_size: int | None = 10_000,
+    counts_path: str | None = None,
 ):
     """foreachBatch hook: for each micro-batch of new signatures, emit
     candidate pairs by joining the batch's bands against the union of the
@@ -86,7 +110,20 @@ def foreach_batch_candidates(
     candidate paths (count-only aggregate + broadcast anti-join on BOTH join
     sides BEFORE the equi-join): in continuous ingest the accumulated bands
     table only grows, so one boilerplate band key would otherwise join every
-    future micro-batch against an ever-larger hot bucket."""
+    future micro-batch against an ever-larger hot bucket.
+
+    ``counts_path`` (recommended for continuous ingest — round-3 advice):
+    maintain a small running (band_idx, band_hash, n) side table instead of
+    re-aggregating the ENTIRE accumulated bands history every micro-batch
+    (an O(total-history) scan per batch).  Per batch: read the latest
+    ``snap_<id>`` (one row per DISTINCT band key — orders of magnitude
+    smaller than the bands table), add this batch's counts, write
+    ``snap_<batch_id>``, and derive the hot set from the merged counts.
+    Snapshots are named by batch_id, so a retried micro-batch overwrites
+    its own snapshot and reads the latest one strictly BEFORE it —
+    idempotent under Structured Streaming's replay.  The two most recent
+    snapshots are kept, older ones deleted.  Without ``counts_path`` the
+    original full-history aggregate runs (fine for bounded backfills)."""
 
     def _fn(batch_sig: DataFrame, batch_id: int) -> None:
         spark = batch_sig.sparkSession
@@ -99,12 +136,50 @@ def foreach_batch_candidates(
         target = new_bands if old_bands is None else new_bands.unionByName(old_bands)
         probe = new_bands
         if max_bucket_size is not None:
-            hot = (
-                target.groupBy("band_idx", "band_hash")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .where(F.col("n") > max_bucket_size)
-                .select("band_idx", "band_hash")
-            )
+            if counts_path is not None:
+                # incremental count maintenance: prev snapshot + this
+                # batch's delta → new snapshot; hot set from the merged
+                # (small) counts table, no full-history scan
+                delta = new_bands.groupBy("band_idx", "band_hash").agg(
+                    F.count(F.lit(1)).alias("n")
+                )
+                prev_id = _latest_counts_snapshot(spark, counts_path, batch_id)
+                if prev_id is not None:
+                    prev = spark.read.parquet(f"{counts_path}/snap_{prev_id}")
+                    merged = (
+                        prev.unionByName(delta)
+                        .groupBy("band_idx", "band_hash")
+                        .agg(F.sum("n").alias("n"))
+                    )
+                else:
+                    merged = delta
+                merged.write.mode("overwrite").parquet(
+                    f"{counts_path}/snap_{batch_id}"
+                )
+                counts = spark.read.parquet(f"{counts_path}/snap_{batch_id}")
+                # retain current + previous; drop older snapshots
+                jvm = spark._jvm
+                jpath = jvm.org.apache.hadoop.fs.Path(counts_path)
+                fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+                for st in fs.listStatus(jpath):
+                    name = st.getPath().getName()
+                    if name.startswith("snap_"):
+                        try:
+                            sid = int(name[5:])
+                        except ValueError:
+                            continue
+                        if sid != batch_id and (prev_id is None or sid != prev_id):
+                            fs.delete(st.getPath(), True)
+                hot = counts.where(F.col("n") > max_bucket_size).select(
+                    "band_idx", "band_hash"
+                )
+            else:
+                hot = (
+                    target.groupBy("band_idx", "band_hash")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .where(F.col("n") > max_bucket_size)
+                    .select("band_idx", "band_hash")
+                )
             target = target.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
             probe = probe.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
         pairs = (

@@ -42,6 +42,19 @@ class TestAudioKernels:
 
 
 class TestSyntheticCorpus:
+    def test_vocab_distinct(self):
+        # round-3 advice: compound words could collide as strings; the
+        # generator now skips seen compounds.  At the default size the
+        # guard is a no-op (no collision occurs in the generated range),
+        # keeping the round-3 corpus byte-identical; at other sizes it
+        # guarantees exactly n_words distinct tokens.
+        v = synth.VOCAB
+        assert len(v) == 50_000 and len(set(v)) == 50_000
+        v2 = synth._build_vocab(60_000)
+        assert len(v2) == 60_000 and len(set(v2)) == 60_000
+        # prefix-stability: the guard did not move any default-range word
+        assert v2[:50_000] == v
+
     def test_deterministic(self):
         c1, t1 = synth.generate_clips(n_clips=50, seed=42)
         c2, t2 = synth.generate_clips(n_clips=50, seed=42)

@@ -46,3 +46,20 @@ class TestLargeStarSmallStar:
         assert got[1] == got[3] == got[5] == 1
         assert got[10] == got[12] == 10
         assert 7 not in got  # self-loop dropped; caller treats as singleton
+
+    def test_star_graph_hub_no_neighbor_arrays(self, spark):
+        # round-3 verdict item #4: a hub node (one giant near-dup cluster)
+        # must not funnel its whole neighborhood into one aggregation row.
+        # Correctness on a 100k-spoke star + plan assertion that neither
+        # star transform materializes a per-node array.
+        from lexis_minhash_spark.operators.cc import _large_star, _small_star
+
+        n = 100_000
+        hub = spark.range(1, n + 1).selectExpr("CAST(1000000 AS LONG) AS a", "id AS b")
+        for stage in (_large_star, _small_star):
+            plan = stage(hub)._jdf.queryExecution().executedPlan().toString()
+            assert "collect_set" not in plan, plan
+            assert "ObjectHashAggregate" not in plan, plan
+        got = {r.doc_id: r.cluster_id for r in large_star_small_star(hub).collect()}
+        assert len(got) == n + 1
+        assert all(v == 1 for v in got.values())

@@ -158,6 +158,49 @@ class TestStreamingIngest:
         # the 30-member hot bucket never joined (caps at 10)
         assert not any(a < 100 or (a == 100 or b == 100) for a, b in pairs if (a, b) != (101, 102))
 
+    def test_foreach_batch_incremental_counts_side_table(self, spark, tmp_path):
+        # round-3 advice: with counts_path, the hot-bucket state is
+        # maintained incrementally (prev snapshot + batch delta), never
+        # re-scanning the full bands history — same quarantine semantics
+        # as the full-history aggregate.
+        import os
+
+        bands_acc = str(tmp_path / "bands_acc")
+        pairs_out = str(tmp_path / "pairs")
+        counts = str(tmp_path / "counts")
+        fn = incremental.foreach_batch_candidates(
+            bands_acc, pairs_out, max_bucket_size=10, counts_path=counts
+        )
+        hot_text = "identical hot boilerplate text repeated across the corpus"
+        b0 = [(i, hot_text) for i in range(8)]  # under cap: pairs freely
+        fn(ops.with_signatures(spark.createDataFrame(b0, "doc_id long, text string"), CFG), 0)
+        p0 = {(r.a, r.b) for r in spark.read.parquet(pairs_out).collect()}
+        assert len(p0) == 8 * 7 // 2
+        # batch 1 pushes the ACCUMULATED bucket count to 13 > 10: the hot
+        # key is quarantined via the merged counts (no history re-scan),
+        # while a genuinely distinct pair in the same batch still pairs
+        b1 = [(100 + i, hot_text) for i in range(5)] + [
+            (200, "a genuinely distinct pair of sentences about spark lsh"),
+            (201, "a genuinely distinct pair of sentences about spark lsh"),
+        ]
+        fn(ops.with_signatures(spark.createDataFrame(b1, "doc_id long, text string"), CFG), 1)
+        p1 = {(r.a, r.b) for r in spark.read.parquet(pairs_out).collect()} - p0
+        assert (200, 201) in p1
+        assert not any(a < 200 or b < 200 for a, b in p1 if (a, b) != (200, 201))
+        # snapshot retention: current + previous only
+        snaps = sorted(d for d in os.listdir(counts) if d.startswith("snap_"))
+        assert snaps == ["snap_0", "snap_1"]
+        # a third batch prunes snap_0
+        fn(ops.with_signatures(
+            spark.createDataFrame([(300, "one more unrelated sentence about streaming state here")],
+                                  "doc_id long, text string"), CFG), 2)
+        snaps = sorted(d for d in os.listdir(counts) if d.startswith("snap_"))
+        assert snaps == ["snap_1", "snap_2"]
+        # merged counts reflect the full history incrementally
+        c = {(r.band_idx, r.band_hash): r.n
+             for r in spark.read.parquet(str(tmp_path / "counts" / "snap_2")).collect()}
+        assert max(c.values()) == 13
+
     def test_foreach_batch_pairs_within_one_microbatch(self, spark, tmp_path):
         # regression: two near-duplicates arriving in the SAME micro-batch
         # must pair (new-vs-(old ∪ new) join, not new-vs-old only)

@@ -169,3 +169,21 @@ class TestStagePlans:
         m = _re.search(r"HashAggregate\(keys=\[a[^\]]*\bb[^\]]*\]", plan)
         assert m, plan
         assert "embedding" not in m.group(0), m.group(0)
+
+    def test_ann_cap_precedes_bucket_self_join(self, spark):
+        # round-3 verdict item #1: the ANN hot-bucket quarantine must run
+        # BEFORE the (table_idx, bucket) self-join.  Plans print root-first,
+        # so the self-join node must appear ABOVE (= consume) the broadcast
+        # anti-join.
+        from lexis_minhash_spark.operators.dedup import lsh_bucketed_cosine_pairs
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = plan_of(
+            lsh_bucketed_cosine_pairs(emb, dim=64, threshold=0.9, max_bucket_size=100)
+        )
+        assert "LeftAnti" in plan, plan
+        m = re.search(
+            r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*table_idx", plan
+        )
+        assert m, plan
+        assert m.start() < plan.index("LeftAnti"), plan
