@@ -26,6 +26,13 @@ use the sensitive band config — envelope Jaccard for true near-dups sits
 lower than text shingle Jaccard):
     ... jobs/dedup_job.py --input <warehouse>/clips --workdir <prefix> \
         --mode audio --id-col clip_id --num-bands 50 --threshold 0.25
+
+Single-stage pair modes (round-3 verdict item #8 — the 100 TB skew-cap
+configuration reachable from the CLI, no code edits): write (a, b, score)
+pairs parquet to <workdir>/pairs.
+    ... --mode ngram --threshold 0.5 --max-doc-freq 1000     # hot-gram cap
+    ... --mode ann --threshold 0.95 --ann-tables 8 \
+        --max-bucket-size 10000                              # hot-bucket cap
 """
 
 from __future__ import annotations
@@ -66,11 +73,13 @@ def main() -> int:
     ap.add_argument("--id-col", default="clip_id")
     ap.add_argument(
         "--mode",
-        choices=("text", "audio"),
+        choices=("text", "audio", "ngram", "ann"),
         default="text",
         help="text: MinHash over --text-col; audio: decode the bytes/codec/"
         "sr_hz columns and fingerprint the PCM envelope (same downstream "
-        "LSH/verify/cluster stages)",
+        "LSH/verify/cluster stages); ngram: exact word-n-gram Jaccard "
+        "pairs (hot grams capped by --max-doc-freq); ann: LSH-bucketed "
+        "embedding cosine pairs (hot buckets capped by --max-bucket-size)",
     )
     ap.add_argument("--seed", type=int, default=12345)
     ap.add_argument("--signature-size", type=int, default=100)
@@ -78,7 +87,19 @@ def main() -> int:
     ap.add_argument("--shingle-size", type=int, default=5)
     ap.add_argument("--min-words", type=int, default=4)
     ap.add_argument("--threshold", type=float, default=0.75)
-    ap.add_argument("--max-bucket-size", type=int, default=10_000)
+    ap.add_argument("--max-bucket-size", type=int, default=10_000,
+                    help="hot-bucket quarantine cap (LSH band buckets in "
+                    "text/audio mode; hyperplane buckets in ann mode); "
+                    "0 disables")
+    # ngram-mode knobs
+    ap.add_argument("--ngram-n", type=int, default=3)
+    ap.add_argument("--max-doc-freq", type=int, default=1000,
+                    help="ngram mode: quarantine grams with document "
+                    "frequency above this (the hot-gram skew cap); 0 disables")
+    # ann-mode knobs
+    ap.add_argument("--embedding-col", default="embedding")
+    ap.add_argument("--ann-planes", type=int, default=12)
+    ap.add_argument("--ann-tables", type=int, default=4)
     ap.add_argument("--min-parallelism", type=int, default=0,
                     help="repartition the input if it has fewer partitions "
                     "(text mode; audio mode uses scan splits instead — "
@@ -110,6 +131,40 @@ def main() -> int:
             "spark.sql.files.maxPartitionBytes", str(scan_split_mb * 1024 * 1024)
         )
     docs = spark.read.parquet(args.input)
+    if args.mode in ("ngram", "ann"):
+        import time as _time
+
+        t0 = _time.monotonic()
+        cap = args.max_bucket_size or None
+        if args.mode == "ngram":
+            from lexis_minhash_spark.operators.dedup import ngram_jaccard_pairs
+
+            pairs = ngram_jaccard_pairs(
+                docs, text_col=args.text_col, id_col=args.id_col,
+                n=args.ngram_n, threshold=args.threshold,
+                max_doc_freq=args.max_doc_freq or None,
+            )
+        else:
+            from lexis_minhash_spark.operators.dedup import lsh_bucketed_cosine_pairs
+
+            dim = len(
+                docs.select(args.embedding_col).head()[args.embedding_col]
+            )
+            pairs = lsh_bucketed_cosine_pairs(
+                docs, dim=dim, vec_col=args.embedding_col, id_col=args.id_col,
+                threshold=args.threshold, n_planes=args.ann_planes,
+                n_tables=args.ann_tables, seed=args.seed,
+                max_bucket_size=cap,
+            )
+        out = f"{args.workdir}/pairs"
+        pairs.write.mode("overwrite").parquet(out)
+        n = spark.read.parquet(out).count()
+        print(json.dumps({
+            "mode": args.mode, "pairs": n, "out": out,
+            "wall_ms": int((_time.monotonic() - t0) * 1000),
+        }))
+        spark.stop()
+        return 0
     if args.min_parallelism and args.mode != "audio":
         # text rows are small; a repartition is cheap.  Audio blobs are NOT
         # repartitioned — scan splits above parallelize the decode without

@@ -292,10 +292,18 @@ def _mulshift_high32(
     h: np.ndarray,
     coeffs,
     scratch: _MulShiftScratch | None = None,
+    scale_out: bool = True,
 ) -> np.ndarray:
     """``((a*h + b) mod 2^64) >> 32`` for all (shingle, hash-fn) pairs →
     float64[n, S] with integer values in [0, 2^32).  Returns a view into
     ``scratch`` when provided — consume before the next call.
+
+    ``scale_out=False`` returns H·2^-32 (values in [0, 1), exact — a
+    power-of-two scale of the same integers), skipping the final (n × S)
+    multiply pass.  min-reduce commutes with a positive scale, so the
+    unweighted caller rescales the small REDUCED (docs × S) matrix
+    instead; the weighted caller folds the 2^32 into its per-shingle
+    divisor (one 1-D pass) — round-3 verdict item #5.
 
     Exact 16-bit-limb float64 arithmetic (see _prep_coeff_limbs for the
     fused two-matmul derivation; every intermediate < 2^51 << 2^53, all
@@ -336,8 +344,9 @@ def _mulshift_high32(
     np.matmul(XZ, cz, out=Z)
     Z += Y
     np.floor(Z, out=Y)
-    np.subtract(Z, Y, out=Z)
-    np.multiply(Z, two32, out=Z)  # H
+    np.subtract(Z, Y, out=Z)      # H·2^-32
+    if scale_out:
+        np.multiply(Z, two32, out=Z)  # H
     return Z
 
 
@@ -414,6 +423,13 @@ def minhash_batch(
         # NB: the reference computes Math.log(1.0 + w) (engine.cr:179) — NOT
         # log1p — and the two differ in the last ulp for general w; mirror it.
         divisor = np.where(w_eff < 1.0, np.log(1.0 + w_eff), w_eff)
+        # fold the deferred 2^32 output scale into the divisor (see
+        # _mulshift_high32 scale_out=False): (H·2^-32)/(divisor·2^-32) is
+        # bit-identical to H/divisor — numerator and denominator are both
+        # exact power-of-two scalings, so the rounded quotient is of the
+        # same real value.  One 1-D pass here replaces a (shingles × S)
+        # multiply pass per block.
+        divisor = divisor * 2.0**-32
     if h.size == 0:
         return out
 
@@ -457,22 +473,26 @@ def minhash_batch(
         n_rows = hi - lo
         if n_rows > scratch.max_rows:  # lone doc larger than the block budget
             scratch = _get_scratch(n_rows, s)
-        m = _mulshift_high32(h[lo:hi], coeffs, scratch)
+        # H·2^-32 units: the final ×2^32 pass is deferred past the reduce
+        # (unweighted) or folded into the divisor (weighted)
+        m = _mulshift_high32(h[lo:hi], coeffs, scratch, scale_out=False)
         local_starts = (ne_starts[doc_pos:end] - lo).astype(np.intp)
         if w is not None:
             dv = divisor[lo:hi]
             fw = scratch.fw[:n_rows]
-            np.divide(m, dv[:, None], out=fw)
+            np.divide(m, dv[:, None], out=fw)  # = H / divisor_orig exactly
             np.fmod(fw, U32_MAX_F, out=fw)
             m32 = scratch.m32[:n_rows]
             np.copyto(m32, fw, casting="unsafe")  # trunc toward zero (>=0)
             out[ne_idx[doc_pos:end]] = np.minimum.reduceat(m32, local_starts, axis=0)
         else:
-            # min-reduce directly on the exact float64 values (< 2^32), then
-            # convert only the reduced (n_docs × S) block — skips one full
-            # (shingles × S) copy pass
+            # min-reduce directly on the exact float64 values, then rescale
+            # and convert only the reduced (n_docs × S) block — skips one
+            # full (shingles × S) copy pass AND the ×2^32 pass (min
+            # commutes with a positive scale; ·2^32 of an exact ·2^-32
+            # value is exact)
             reduced = np.minimum.reduceat(m, local_starts, axis=0)
-            out[ne_idx[doc_pos:end]] = reduced.astype(np.uint32)
+            out[ne_idx[doc_pos:end]] = (reduced * 4294967296.0).astype(np.uint32)
     return out
 
 

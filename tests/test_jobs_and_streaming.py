@@ -73,6 +73,30 @@ class TestDedupJob:
         assert "lexis_minhash_spark/ops.py" in names
         assert "lexis_minhash_spark/kernels.py" in names
 
+    def test_cli_ngram_and_ann_pair_modes(self, tmp_path):
+        # round-3 verdict item #8: the ngram / ANN skew caps are reachable
+        # from the CLI (100 TB config without code edits)
+        for mode, extra, inp in (
+            ("ngram", ["--threshold", "0.2", "--max-doc-freq", "1000"],
+             "/root/testdata/sf0.001/documents.parquet"),
+            ("ann", ["--threshold", "0.35", "--ann-planes", "10",
+                     "--id-col", "vec_id", "--max-bucket-size", "10000"],
+             "/root/testdata/sf0.001/embeddings.parquet"),
+        ):
+            cmd = [
+                sys.executable, "jobs/dedup_job.py",
+                "--input", inp,
+                "--workdir", str(tmp_path / mode),
+                "--text-col", "text", "--mode", mode,
+                "--local", "local[4]",
+            ] + (["--id-col", "doc_id"] if mode == "ngram" else []) + extra
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=600, cwd="/root/repo")
+            assert out.returncode == 0, out.stderr[-2000:]
+            line = [l for l in out.stdout.splitlines() if l.strip().startswith("{")][-1]
+            res = json.loads(line)
+            assert res["mode"] == mode and res["pairs"] > 0
+
 
 class TestStreamingIngest:
     def test_incremental_signatures_match_batch(self, spark, tmp_path):
