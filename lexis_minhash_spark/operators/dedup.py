@@ -116,10 +116,20 @@ def simhash_candidate_pairs(
     anti-join before the self-join — a capped bucket of size m would
     otherwise contribute m² join rows; genuinely-near pairs in a capped
     bucket still meet on one of their other blocks unless every shared
-    block is hot."""
+    block is hot.
+
+    In the capped path the (id, simhash) table is persisted: the hot-count
+    pass and the block join would otherwise BOTH recompute the simhash
+    UDF lineage (the same pay-twice shape as the round-3 ngram
+    regression).  The narrow fingerprint table — not the 4×-exploded
+    block table — is what's cached; the posexplode re-runs from cache."""
     width = 64 // num_blocks
     mask = (1 << width) - 1
     sim_df = sim_df.where(F.col("simhash") != 0)
+    if max_bucket_size is not None:
+        from pyspark import StorageLevel
+
+        sim_df = sim_df.persist(StorageLevel.MEMORY_AND_DISK)
     blocks = sim_df.select(
         F.col(id_col),
         F.col("simhash"),
@@ -447,6 +457,12 @@ def lsh_bucketed_cosine_pairs(
         F.posexplode(F.array(*[F.col(k) for k in keys])).alias("table_idx", "bucket"),
     )
     if max_bucket_size is not None:
+        from pyspark import StorageLevel
+
+        # persist the narrow (id, table_idx, bucket) table: the hot-count
+        # pass and the anti-join would otherwise both recompute the
+        # n_tables bucket UDFs (pay-twice, as in the round-3 ngram case)
+        tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
         hot = (
             tagged.groupBy("table_idx", "bucket")
             .agg(F.count(F.lit(1)).alias("n"))

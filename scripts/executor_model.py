@@ -13,36 +13,48 @@ the shared-nothing process model:
   one process, full input            vs     4 concurrent local[1] processes
   (identical phase sequence)                on disjoint shards per phase
 
-Phases (both sides run the SAME code; only the shard predicate differs):
+Every inter-phase handoff is a parquet table PARTITIONED BY THE NEXT
+PHASE'S SHARD KEY — the file-materialized analog of a cluster shuffle
+(map side writes partitioned by the reduce key; reduce side
+partition-prunes its own key range).  No phase ever scans data outside
+its shard, matching what a cluster executor reads from a shuffle:
 
-  sig    docs, row-sharded by pmod(doc_id, 4)        -> signatures parquet
-  cmap   sigs (same row shards) -> bands explode,
+  prep   (untimed) split the corpus into 4 doc shards (pmod(doc_id, 4)) —
+         a cluster reads its own input splits, not the whole table
+  sig    shard i: input/shard_i -> signatures -> sigs/shard_i
+         (doc shard == id shard, so later phases prune sig reads by id)
+  cmap   shard i: sigs/shard_i -> bands explode ->
          partitionBy(band_shard = pmod(xxhash64(band_idx, band_hash), 4))
-  cred   band shard j: read every map output's band_shard=j subdir ->
-         grouped candidate generation (pre-agg hot-bucket cap) -> pairs
-  verify pair shard p = pmod(xxhash64(a, b), 4): global distinct over the
-         shard, join signatures, codegen zip_with verify -> verified pairs
+  cred   band shard j: cmap/shard_*/band_shard=j -> grouped candidate
+         generation (pre-agg hot-bucket cap) -> partitionBy(a_shard)
+         [a bucket's rows all carry one band key -> no cross-shard pairs]
+  joina  a shard i: cands/*/a_shard=i -> GLOBAL pair distinct (all copies
+         of (a,b) share a's shard) -> join sigs/shard_i (pruned) ->
+         (a, b, sig_a) partitionBy(b_shard)  [leg 1 of the verify join:
+         a cluster's first exchange carries exactly these rows]
+  joinb  b shard j: joina/*/b_shard=j -> join sigs/shard_j (pruned) ->
+         codegen zip_with similarity >= threshold -> verified/shard_j
   cc     connected components + singleton clusters (driver-side serial,
-         measured once, NOT sharded — reported as the Amdahl term)
+         measured once, NOT sharded — reported as the Amdahl term; at
+         10^12 rows this stage runs the distributed LS/SS path instead)
 
-The parquet handoff between phases is the file-materialized equivalent of
-a cluster shuffle: cand-map writes its bands partitioned by the reduce
-key (a shuffle write), cand-reduce reads only its key range (a shuffle
-read).  No pair can cross band shards during generation (a bucket's rows
-all carry one band key), and the global pair dedup happens in the
-pair-sharded verify phase, exactly where a cluster plan would put the
-distinct's exchange.  The one-process baseline runs the IDENTICAL
-materialized phases, so both sides pay the same I/O; the baseline is
-additionally compared against the round-3 un-materialized whole-job
-number in BENCH.md.
+The one-process baseline runs the IDENTICAL materialized phases over the
+full input (same code, shard filter off), so both sides pay the same
+materialization I/O; BENCH.md also reports the un-materialized whole-job
+local[1] number for reference.  Each process gets its own
+spark.local.dir.  JVM/session startup and the one-time python-worker
+spawn are excluded from every timed region (a long-lived cluster
+amortizes them); phases are run back-to-back per rep with a loadavg gate
+at each phase boundary.
 
 Per-phase efficiency  = T_base(phase) / (4 * max_shard_wall(phase)).
 Whole-job efficiency  = (sum of base phases + cc)
                         / (4 * (sum of max shard walls + cc)).
-
-JVM/session startup and the one-time python-worker spawn are excluded
-from every timed region (a long-lived cluster amortizes them); each
-phase subprocess warms the session, then times the phase alone.
+Known biases AGAINST the 4-process side, quantified in BENCH.md: the
+~2-4 s fixed per-phase cost (job scheduling + parquet commit) enters the
+denominator 4x, and the 4 concurrent processes genuinely contend for the
+single host's disk/page cache where a real cluster adds hardware per
+executor.
 """
 
 from __future__ import annotations
@@ -71,25 +83,45 @@ shard_i = None if shard == "all" else int(shard)
 tag = "all" if shard_i is None else str(shard_i)
 CFG = EngineConfig(seed=12345)
 spark = get_spark(app_name=f"execmodel-{phase}-{tag}", master="local[1]",
-                  shuffle_partitions=8)
+                  shuffle_partitions=8,
+                  extra_conf={"spark.local.dir": f"{work}/scratch_{tag}"})
 spark.sparkContext.setLogLevel("ERROR")
+THRESH = 0.75
 
-def _warm(df):
-    # spawn the python worker + import numpy outside the timed region
-    ops.with_signatures(df.limit(4), CFG).count()
+def shards_of(root_pattern):
+    # exec procs read ONE pruned partition dir; base reads all of them
+    if shard_i is None:
+        return root_pattern.replace("SHARD", "*")
+    return root_pattern.replace("SHARD", str(shard_i))
 
-if phase == "sig":
+if phase == "prep":
+    # untimed input split: a cluster's executors read disjoint input splits
     docs = spark.read.parquet(corpus).withColumnRenamed("transcript", "text")
-    if shard_i is not None:
-        docs = docs.where(F.pmod(F.col("doc_id"), F.lit(4)) == shard_i)
-    docs.count()
-    _warm(docs)
     t0 = time.monotonic()
-    ops.with_signatures(docs, CFG).write.mode("overwrite").parquet(
-        f"{work}/sigs/shard_{tag}")
+    for i in range(4):
+        (docs.where(F.pmod(F.col("doc_id"), F.lit(4)) == i)
+             .coalesce(4).write.mode("overwrite")
+             .parquet(f"{work}/input/shard_{i}"))
+    wall = time.monotonic() - t0
+elif phase == "sig":
+    docs = spark.read.parquet(shards_of(f"{work}/input/shard_SHARD"))
+    docs.count()
+    ops.with_signatures(docs.limit(4), CFG).count()  # worker spawn untimed
+    t0 = time.monotonic()
+    sig = ops.with_signatures(docs, CFG)
+    if shard_i is None:
+        # base writes the same per-id-shard layout the exec side produces
+        sig = sig.withColumn("id_shard", F.pmod(F.col("doc_id"), F.lit(4)))
+        sig.write.mode("overwrite").partitionBy("id_shard").parquet(
+            f"{work}/sigs/all")
+    else:
+        sig.write.mode("overwrite").parquet(f"{work}/sigs/shard_{tag}")
     wall = time.monotonic() - t0
 elif phase == "cmap":
-    src = f"{work}/sigs/shard_{tag}"
+    if shard_i is None:
+        src = f"{work}/sigs/all"
+    else:
+        src = f"{work}/sigs/shard_{tag}"
     sig = spark.read.parquet(src)
     sig.count()
     t0 = time.monotonic()
@@ -99,30 +131,55 @@ elif phase == "cmap":
         f"{work}/cmap/shard_{tag}")
     wall = time.monotonic() - t0
 elif phase == "cred":
-    if shard_i is None:
-        src = f"{work}/cmap/shard_all"
-    else:
-        src = f"{work}/cmap/shard_*/band_shard={shard_i}"
+    src = shards_of(f"{work}/cmap/shard_*/band_shard=SHARD")
     bands = spark.read.parquet(src).select("doc_id", "band_idx", "band_hash")
     bands.count()
     t0 = time.monotonic()
     cands = ops.candidate_pairs_grouped(bands, max_bucket_size=10_000)
-    cands.write.mode("overwrite").parquet(f"{work}/cands/shard_{tag}")
+    cands = cands.withColumn("a_shard", F.pmod(F.col("a"), F.lit(4)))
+    cands.write.mode("overwrite").partitionBy("a_shard").parquet(
+        f"{work}/cands/shard_{tag}")
     wall = time.monotonic() - t0
-elif phase == "verify":
-    cands = spark.read.parquet(f"{work}/cands/shard_*")
-    sigs = spark.read.parquet(f"{work}/sigs/shard_*")
+elif phase == "joina":
+    # leg 1 of the verify join: global pair dedup (all duplicates of a
+    # pair share a's shard) + attach sig_a; output partitioned by b_shard
+    cands = spark.read.parquet(shards_of(f"{work}/cands/shard_*/a_shard=SHARD"))
+    sig_src = (f"{work}/sigs/all/id_shard={tag}" if shard_i is not None
+               else f"{work}/sigs/all")
+    # exec reads its own sig shard dir written by the sig phase
+    if shard_i is not None and not __import__("os").path.isdir(sig_src):
+        sig_src = f"{work}/sigs/shard_{tag}"
+    sigs = spark.read.parquet(sig_src)
     cands.count(); sigs.count()
     t0 = time.monotonic()
-    if shard_i is not None:
-        cands = cands.where(F.pmod(F.xxhash64("a", "b"), F.lit(4)) == shard_i)
-    cands = cands.distinct()   # global pair dedup lives in this exchange
-    ops.verified_pairs(cands, sigs, 0.75).write.mode("overwrite").parquet(
-        f"{work}/verified/shard_{tag}")
+    sa = sigs.select(F.col("doc_id").alias("a"), F.col("sig_arr").alias("sig_a"))
+    j1 = (cands.select("a", "b").distinct()
+          .join(sa, "a")
+          .withColumn("b_shard", F.pmod(F.col("b"), F.lit(4))))
+    j1.write.mode("overwrite").partitionBy("b_shard").parquet(
+        f"{work}/joina/shard_{tag}")
+    wall = time.monotonic() - t0
+elif phase == "joinb":
+    from lexis_minhash_spark.functions.similarity import sig_similarity_expr
+
+    j1 = spark.read.parquet(shards_of(f"{work}/joina/shard_*/b_shard=SHARD"))
+    sig_src = (f"{work}/sigs/all/id_shard={tag}" if shard_i is not None
+               else f"{work}/sigs/all")
+    if shard_i is not None and not __import__("os").path.isdir(sig_src):
+        sig_src = f"{work}/sigs/shard_{tag}"
+    sigs = spark.read.parquet(sig_src)
+    j1.count(); sigs.count()
+    t0 = time.monotonic()
+    sb = sigs.select(F.col("doc_id").alias("b"), F.col("sig_arr").alias("sig_b"))
+    ver = (j1.join(sb, "b")
+           .withColumn("similarity", sig_similarity_expr("sig_a", "sig_b"))
+           .where(F.col("similarity") >= F.lit(THRESH))
+           .select("a", "b", "similarity"))
+    ver.write.mode("overwrite").parquet(f"{work}/verified/shard_{tag}")
     wall = time.monotonic() - t0
 elif phase == "cc":
     ver = spark.read.parquet(f"{work}/verified/shard_*")
-    sigs = spark.read.parquet(f"{work}/sigs/shard_*")
+    sigs = spark.read.parquet(f"{work}/sigs/*")
     ver.count(); sigs.count()
     t0 = time.monotonic()
     cc = ops.connected_components(ver.select("a", "b").distinct())
@@ -167,15 +224,14 @@ def wait_for_quiet(threshold: float, max_wait: int = 900) -> float:
     return os.getloadavg()[0]
 
 
-PHASES = ["sig", "cmap", "cred", "verify"]
+PHASES = ["sig", "cmap", "cred", "joina", "joinb"]
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--clips", type=int, default=1_000_000)
     ap.add_argument("--quiet", type=float, default=3.0)
-    ap.add_argument("--skip-base", action="store_true",
-                    help="reuse base timings from a previous run (printed)")
+    ap.add_argument("--skip-base", action="store_true")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -186,11 +242,23 @@ def main():
 
     results: dict = {"clips": args.clips}
 
+    # ---- shared prep: disjoint input splits (untimed) --------------------
+    prep_dir = f"/tmp/lexis_execmodel_{args.clips}_in"
+    if not os.path.exists(f"{prep_dir}/input/shard_3/_SUCCESS"):
+        os.makedirs(prep_dir, exist_ok=True)
+        p, f = run_phase_proc("prep", "all", corpus, prep_dir)
+        print(f"prep (untimed): {collect(p, f)}s", flush=True)
+
+    def link_input(work):
+        os.makedirs(work, exist_ok=True)
+        if not os.path.exists(f"{work}/input"):
+            os.symlink(f"{prep_dir}/input", f"{work}/input")
+
     # ---- one-process baseline: identical phases, full input --------------
     base_work = f"/tmp/lexis_execmodel_{args.clips}_base"
     if not args.skip_base:
         shutil.rmtree(base_work, ignore_errors=True)
-        os.makedirs(base_work, exist_ok=True)
+        link_input(base_work)
         base = {}
         for ph in PHASES + ["cc"]:
             load = wait_for_quiet(args.quiet)
@@ -202,7 +270,7 @@ def main():
     # ---- executor model: 4 concurrent local[1] processes per phase -------
     exec_work = f"/tmp/lexis_execmodel_{args.clips}_exec"
     shutil.rmtree(exec_work, ignore_errors=True)
-    os.makedirs(exec_work, exist_ok=True)
+    link_input(exec_work)
     shards: dict = {}
     for ph in PHASES:
         load = wait_for_quiet(args.quiet)
