@@ -82,10 +82,18 @@ phase, shard, corpus, work = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
 shard_i = None if shard == "all" else int(shard)
 tag = "all" if shard_i is None else str(shard_i)
 CFG = EngineConfig(seed=12345)
+# shuffle scratch on tmpfs: a cluster executor shuffles through its OWN
+# local disk; 4 procs contending for this sandbox's single shared disk is
+# precisely the non-cluster artifact to exclude.  Applied to BOTH the
+# one-process baseline and the 4-process side (symmetric).
+import shutil as _sh
+_scratch = f"/dev/shm/lexis_scratch_{phase}_{tag}"
 spark = get_spark(app_name=f"execmodel-{phase}-{tag}", master="local[1]",
                   shuffle_partitions=8,
-                  extra_conf={"spark.local.dir": f"{work}/scratch_{tag}"})
+                  extra_conf={"spark.local.dir": _scratch})
 spark.sparkContext.setLogLevel("ERROR")
+import atexit
+atexit.register(lambda: _sh.rmtree(_scratch, ignore_errors=True))
 THRESH = 0.75
 
 def shards_of(root_pattern):
@@ -254,31 +262,37 @@ def main():
         if not os.path.exists(f"{work}/input"):
             os.symlink(f"{prep_dir}/input", f"{work}/input")
 
-    # ---- one-process baseline: identical phases, full input --------------
+    # ---- interleaved per phase: base then 4-process exec -----------------
+    # (the co-tenant load regime shifts on ~10-minute scales; running the
+    # two sides of each phase back-to-back makes every per-phase ratio
+    # sample the same regime, like scaling_bench's alternating reps)
     base_work = f"/tmp/lexis_execmodel_{args.clips}_base"
+    exec_work = f"/tmp/lexis_execmodel_{args.clips}_exec"
     if not args.skip_base:
         shutil.rmtree(base_work, ignore_errors=True)
         link_input(base_work)
-        base = {}
-        for ph in PHASES + ["cc"]:
+    shutil.rmtree(exec_work, ignore_errors=True)
+    link_input(exec_work)
+    base: dict = {}
+    shards: dict = {}
+    for ph in PHASES:
+        if not args.skip_base:
             load = wait_for_quiet(args.quiet)
             p, f = run_phase_proc(ph, "all", corpus, base_work)
             base[ph] = collect(p, f)
             print(f"base {ph}: {base[ph]}s (load {load:.1f})", flush=True)
-        results["base"] = base
-
-    # ---- executor model: 4 concurrent local[1] processes per phase -------
-    exec_work = f"/tmp/lexis_execmodel_{args.clips}_exec"
-    shutil.rmtree(exec_work, ignore_errors=True)
-    link_input(exec_work)
-    shards: dict = {}
-    for ph in PHASES:
         load = wait_for_quiet(args.quiet)
         procs = [run_phase_proc(ph, str(i), corpus, exec_work) for i in range(4)]
         walls = [collect(p, f) for p, f in procs]
         shards[ph] = walls
         print(f"exec {ph}: shards {walls} max {max(walls)}s (load {load:.1f})",
               flush=True)
+    if not args.skip_base:
+        load = wait_for_quiet(args.quiet)
+        p, f = run_phase_proc("cc", "all", corpus, base_work)
+        base["cc"] = collect(p, f)
+        print(f"base cc: {base['cc']}s (load {load:.1f})", flush=True)
+        results["base"] = base
     load = wait_for_quiet(args.quiet)
     p, f = run_phase_proc("cc", "all", corpus, exec_work)
     cc_exec = collect(p, f)
