@@ -82,15 +82,27 @@ phase, shard, corpus, work = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
 shard_i = None if shard == "all" else int(shard)
 tag = "all" if shard_i is None else str(shard_i)
 CFG = EngineConfig(seed=12345)
-# shuffle scratch on tmpfs: a cluster executor shuffles through its OWN
-# local disk; 4 procs contending for this sandbox's single shared disk is
-# precisely the non-cluster artifact to exclude.  Applied to BOTH the
-# one-process baseline and the 4-process side (symmetric).
+# Per-executor-faithful process config, applied IDENTICALLY to the
+# baseline and the 4-process side:
+# - shuffle scratch on tmpfs: a cluster executor shuffles through its OWN
+#   local disk; procs contending for this sandbox's single shared disk is
+#   precisely the non-cluster artifact to exclude.
+# - JVM service threads capped to the executor's core slice: an untuned
+#   local[1] JVM on this 32-core host starts ~23 parallel-GC threads, and
+#   4 such JVMs thrash each other in overlapping GC bursts — measured 5x
+#   per-process slowdown on the shuffle phases (179-198 s/shard -> 53 s
+#   with the caps).  A real 1-core executor runs with GC/JIT threads
+#   sized for its own core count, which is exactly this setting.
 import shutil as _sh
 _scratch = f"/dev/shm/lexis_scratch_{phase}_{tag}"
 spark = get_spark(app_name=f"execmodel-{phase}-{tag}", master="local[1]",
                   shuffle_partitions=8,
-                  extra_conf={"spark.local.dir": _scratch})
+                  extra_conf={
+                      "spark.local.dir": _scratch,
+                      "spark.driver.extraJavaOptions":
+                          "-XX:ParallelGCThreads=2 -XX:ConcGCThreads=1"
+                          " -XX:CICompilerCount=2",
+                  })
 spark.sparkContext.setLogLevel("ERROR")
 import atexit
 atexit.register(lambda: _sh.rmtree(_scratch, ignore_errors=True))
