@@ -251,7 +251,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--clips", type=int, default=1_000_000)
     ap.add_argument("--quiet", type=float, default=3.0)
-    ap.add_argument("--skip-base", action="store_true")
+    ap.add_argument("--reps", type=int, default=2,
+                    help="reps per phase per side; best-of is kept "
+                    "(identical gated runs on this co-tenant host swing "
+                    "up to 4x — best-of is the repo-standard defense)")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -260,10 +263,15 @@ def main():
     corpus = f"/tmp/lexis_bench_corpus_{args.clips}_42_{_bench.CORPUS_VERSION}"
     assert os.path.exists(os.path.join(corpus, "_SUCCESS")), f"generate {corpus} first"
 
-    results: dict = {"clips": args.clips}
+    results: dict = {"clips": args.clips, "reps": args.reps}
+
+    # handoff tables + scratch live on tmpfs: a cluster executor writes
+    # shuffle data to its OWN disks; the sandbox's single shared disk is a
+    # non-cluster artifact.  Symmetric (both sides).
+    root = "/dev/shm/lexis_execmodel"
 
     # ---- shared prep: disjoint input splits (untimed) --------------------
-    prep_dir = f"/tmp/lexis_execmodel_{args.clips}_in"
+    prep_dir = f"{root}_{args.clips}_in"
     if not os.path.exists(f"{prep_dir}/input/shard_3/_SUCCESS"):
         os.makedirs(prep_dir, exist_ok=True)
         p, f = run_phase_proc("prep", "all", corpus, prep_dir)
@@ -274,59 +282,65 @@ def main():
         if not os.path.exists(f"{work}/input"):
             os.symlink(f"{prep_dir}/input", f"{work}/input")
 
-    # ---- interleaved per phase: base then 4-process exec -----------------
-    # (the co-tenant load regime shifts on ~10-minute scales; running the
-    # two sides of each phase back-to-back makes every per-phase ratio
-    # sample the same regime, like scaling_bench's alternating reps)
-    base_work = f"/tmp/lexis_execmodel_{args.clips}_base"
-    exec_work = f"/tmp/lexis_execmodel_{args.clips}_exec"
-    if not args.skip_base:
-        shutil.rmtree(base_work, ignore_errors=True)
-        link_input(base_work)
+    # ---- interleaved per phase: base rep, exec rep, base rep, ... --------
+    # (the co-tenant load regime shifts on ~10-minute scales; alternating
+    # sides inside each phase makes the per-phase ratio sample the same
+    # regime, like scaling_bench's alternating reps)
+    base_work = f"{root}_{args.clips}_base"
+    exec_work = f"{root}_{args.clips}_exec"
+    shutil.rmtree(base_work, ignore_errors=True)
+    link_input(base_work)
     shutil.rmtree(exec_work, ignore_errors=True)
     link_input(exec_work)
     base: dict = {}
+    base_reps: dict = {}
     shards: dict = {}
-    for ph in PHASES:
-        if not args.skip_base:
+    shard_reps: dict = {}
+    for ph in PHASES + ["cc"]:
+        b_walls, e_walls = [], []
+        for rep in range(args.reps):
             load = wait_for_quiet(args.quiet)
             p, f = run_phase_proc(ph, "all", corpus, base_work)
-            base[ph] = collect(p, f)
-            print(f"base {ph}: {base[ph]}s (load {load:.1f})", flush=True)
-        load = wait_for_quiet(args.quiet)
-        procs = [run_phase_proc(ph, str(i), corpus, exec_work) for i in range(4)]
-        walls = [collect(p, f) for p, f in procs]
-        shards[ph] = walls
-        print(f"exec {ph}: shards {walls} max {max(walls)}s (load {load:.1f})",
-              flush=True)
-    if not args.skip_base:
-        load = wait_for_quiet(args.quiet)
-        p, f = run_phase_proc("cc", "all", corpus, base_work)
-        base["cc"] = collect(p, f)
-        print(f"base cc: {base['cc']}s (load {load:.1f})", flush=True)
-        results["base"] = base
-    load = wait_for_quiet(args.quiet)
-    p, f = run_phase_proc("cc", "all", corpus, exec_work)
-    cc_exec = collect(p, f)
-    print(f"exec cc (driver-serial): {cc_exec}s (load {load:.1f})", flush=True)
+            b_walls.append(collect(p, f))
+            print(f"base {ph} rep{rep}: {b_walls[-1]}s (load {load:.1f})",
+                  flush=True)
+            load = wait_for_quiet(args.quiet)
+            if ph == "cc":
+                p, f = run_phase_proc(ph, "all", corpus, exec_work)
+                e_walls.append([collect(p, f)])
+                print(f"exec {ph} rep{rep} (driver-serial): {e_walls[-1][0]}s "
+                      f"(load {load:.1f})", flush=True)
+            else:
+                procs = [run_phase_proc(ph, str(i), corpus, exec_work)
+                         for i in range(4)]
+                walls = [collect(p, f) for p, f in procs]
+                e_walls.append(walls)
+                print(f"exec {ph} rep{rep}: shards {walls} max {max(walls)}s "
+                      f"(load {load:.1f})", flush=True)
+        base[ph] = min(b_walls)
+        base_reps[ph] = b_walls
+        best = min(e_walls, key=max)
+        shards[ph] = best
+        shard_reps[ph] = e_walls
+    results["base"] = base
+    results["base_reps"] = base_reps
     results["exec_shards"] = shards
-    results["exec_cc"] = cc_exec
+    results["exec_shard_reps"] = shard_reps
+    cc_exec = max(shards["cc"])
 
-    if "base" in results:
-        base = results["base"]
-        per_phase = {
-            ph: round(base[ph] / (4.0 * max(shards[ph])), 3) for ph in PHASES
-        }
-        t_base = sum(base[ph] for ph in PHASES) + base["cc"]
-        t_exec = sum(max(shards[ph]) for ph in PHASES) + cc_exec
-        results["per_phase_efficiency"] = per_phase
-        results["whole_job"] = {
-            "base_total_sec": round(t_base, 1),
-            "exec_total_sec": round(t_exec, 1),
-            "clips_per_sec_base": round(args.clips / t_base, 1),
-            "clips_per_sec_exec": round(args.clips / t_exec, 1),
-            "efficiency": round(t_base / (4.0 * t_exec), 3),
-        }
+    per_phase = {
+        ph: round(base[ph] / (4.0 * max(shards[ph])), 3) for ph in PHASES
+    }
+    t_base = sum(base[ph] for ph in PHASES) + base["cc"]
+    t_exec = sum(max(shards[ph]) for ph in PHASES) + cc_exec
+    results["per_phase_efficiency"] = per_phase
+    results["whole_job"] = {
+        "base_total_sec": round(t_base, 1),
+        "exec_total_sec": round(t_exec, 1),
+        "clips_per_sec_base": round(args.clips / t_base, 1),
+        "clips_per_sec_exec": round(args.clips / t_exec, 1),
+        "efficiency": round(t_base / (4.0 * t_exec), 3),
+    }
     print(json.dumps(results))
 
 
