@@ -150,20 +150,33 @@ elif phase == "cmap":
     bands.write.mode("overwrite").partitionBy("band_shard").parquet(
         f"{work}/cmap/shard_{tag}")
     wall = time.monotonic() - t0
+elif phase == "noop":
+    # fixed-cost probe: the per-process phase overhead (job scheduling,
+    # parquet commit protocol, session fixed work) with ~zero data; its
+    # wall is the intercept to subtract when reading per-phase ratios
+    df = spark.range(8)
+    df.count()
+    t0 = time.monotonic()
+    df.write.mode("overwrite").parquet(f"{work}/noop/shard_{tag}")
+    wall = time.monotonic() - t0
 elif phase == "cred":
     src = shards_of(f"{work}/cmap/shard_*/band_shard=SHARD")
     bands = spark.read.parquet(src).select("doc_id", "band_idx", "band_hash")
     bands.count()
     t0 = time.monotonic()
     cands = ops.candidate_pairs_grouped(bands, max_bucket_size=10_000)
-    cands = cands.withColumn("a_shard", F.pmod(F.col("a"), F.lit(4)))
-    cands.write.mode("overwrite").partitionBy("a_shard").parquet(
-        f"{work}/cands/shard_{tag}")
+    # plain write: the pair table is tiny (~tens of MB); the next phase
+    # filters its a-shard from a full scan instead of partition-pruning
+    # (a dynamic-partition write here measured +40-60 s/shard under
+    # 4-way concurrency for no read-side benefit at this size)
+    cands.write.mode("overwrite").parquet(f"{work}/cands/shard_{tag}")
     wall = time.monotonic() - t0
 elif phase == "joina":
     # leg 1 of the verify join: global pair dedup (all duplicates of a
     # pair share a's shard) + attach sig_a; output partitioned by b_shard
-    cands = spark.read.parquet(shards_of(f"{work}/cands/shard_*/a_shard=SHARD"))
+    cands = spark.read.parquet(f"{work}/cands/shard_*")
+    if shard_i is not None:
+        cands = cands.where(F.pmod(F.col("a"), F.lit(4)) == shard_i)
     sig_src = (f"{work}/sigs/all/id_shard={tag}" if shard_i is not None
                else f"{work}/sigs/all")
     # exec reads its own sig shard dir written by the sig phase
@@ -244,7 +257,8 @@ def wait_for_quiet(threshold: float, max_wait: int = 900) -> float:
     return os.getloadavg()[0]
 
 
-PHASES = ["sig", "cmap", "cred", "joina", "joinb"]
+PHASES = ["noop", "sig", "cmap", "cred", "joina", "joinb"]
+WORK_PHASES = ["sig", "cmap", "cred", "joina", "joinb"]
 
 
 def main():
@@ -329,10 +343,10 @@ def main():
     cc_exec = max(shards["cc"])
 
     per_phase = {
-        ph: round(base[ph] / (4.0 * max(shards[ph])), 3) for ph in PHASES
+        ph: round(base[ph] / (4.0 * max(shards[ph])), 3) for ph in WORK_PHASES
     }
-    t_base = sum(base[ph] for ph in PHASES) + base["cc"]
-    t_exec = sum(max(shards[ph]) for ph in PHASES) + cc_exec
+    t_base = sum(base[ph] for ph in WORK_PHASES) + base["cc"]
+    t_exec = sum(max(shards[ph]) for ph in WORK_PHASES) + cc_exec
     results["per_phase_efficiency"] = per_phase
     results["whole_job"] = {
         "base_total_sec": round(t_base, 1),
