@@ -125,11 +125,17 @@ def main() -> None:
     # self-join): non-binding on this corpus (max block bucket = 13 at 50k
     # clips), so the pair count is identical to uncapped — the cap exists to
     # quarantine a constant block key across templated docs at 100 TB
-    n_sim_pairs = simhash_candidate_pairs(sim, max_hamming=3, max_bucket_size=10_000).count()
+    caches: list = []
+    n_sim_pairs = simhash_candidate_pairs(
+        sim, max_hamming=3, max_bucket_size=10_000, cache_handle=caches
+    ).count()
     queries["simhash_pairs"] = round(time.monotonic() - t0, 3)
     extras["simhash_pair_count"] = n_sim_pairs
     sig.unpersist()
     ver.unpersist()
+    for c in caches:
+        c.unpersist()
+    caches.clear()
 
     # -- documents-table workloads -------------------------------------------
     # the small sf parquet coalesces to 1 input split; spread the CPU-bound
@@ -149,9 +155,12 @@ def main() -> None:
     # sf0.01 DuckDB oracle instead)
     t0 = time.monotonic()
     extras["ngram_pair_count"] = ngram_jaccard_pairs(
-        ddocs, n=3, threshold=0.2, max_doc_freq=1000
+        ddocs, n=3, threshold=0.2, max_doc_freq=1000, cache_handle=caches
     ).count()
     queries["ngram_jaccard"] = round(time.monotonic() - t0, 3)
+    for c in caches:
+        c.unpersist()
+    caches.clear()
 
     # -- audio near-dup (decode → envelope fingerprint → LSH → verify) -------
     from lexis_minhash_spark.operators.audio_dedup import audio_near_dup_pairs

@@ -136,6 +136,7 @@ def main() -> int:
 
         t0 = _time.monotonic()
         cap = args.max_bucket_size or None
+        caches: list = []  # internal persists, released after the write
         if args.mode == "ngram":
             from lexis_minhash_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -143,21 +144,29 @@ def main() -> int:
                 docs, text_col=args.text_col, id_col=args.id_col,
                 n=args.ngram_n, threshold=args.threshold,
                 max_doc_freq=args.max_doc_freq or None,
+                cache_handle=caches,
             )
         else:
             from lexis_minhash_spark.operators.dedup import lsh_bucketed_cosine_pairs
 
-            dim = len(
-                docs.select(args.embedding_col).head()[args.embedding_col]
-            )
+            first = docs.select(args.embedding_col).head()
+            if first is None or first[args.embedding_col] is None:
+                raise SystemExit(
+                    f"--input table is empty or {args.embedding_col!r} is "
+                    "null in the first row — ann mode needs a non-empty "
+                    "table with an array<float> --embedding-col"
+                )
+            dim = len(first[args.embedding_col])
             pairs = lsh_bucketed_cosine_pairs(
                 docs, dim=dim, vec_col=args.embedding_col, id_col=args.id_col,
                 threshold=args.threshold, n_planes=args.ann_planes,
                 n_tables=args.ann_tables, seed=args.seed,
-                max_bucket_size=cap,
+                max_bucket_size=cap, cache_handle=caches,
             )
         out = f"{args.workdir}/pairs"
         pairs.write.mode("overwrite").parquet(out)
+        for c in caches:
+            c.unpersist()
         n = spark.read.parquet(out).count()
         print(json.dumps({
             "mode": args.mode, "pairs": n, "out": out,

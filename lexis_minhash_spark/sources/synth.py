@@ -47,8 +47,22 @@ def _build_vocab(n_words: int = 50_000) -> tuple[str, ...]:
     # and every corpus derived from it — is byte-identical to round 3's.
     seen = set(words)
     m = len(singles)
+    # p sweeps the full m*m bijection domain exactly once; past that every
+    # compound repeats, so an unreachable n_words must fail, not spin
+    # (round-4 advice: the unbounded loop hangs for pathological n_words).
+    # Fast-fail upfront on the loose upper bound (singles + all compounds).
+    if n_words > m + m * m:
+        raise ValueError(
+            f"n_words={n_words} exceeds the {m + m * m} tokens reachable "
+            f"from {m} syllables"
+        )
     p = 0
     while len(words) < n_words:
+        if p >= m * m:
+            raise ValueError(
+                f"vocabulary exhausted: only {len(words)} distinct tokens "
+                f"reachable (requested {n_words}, {m} syllables)"
+            )
         a = p % m
         b = (p // m + p) % m
         w = singles[a] + singles[b]

@@ -79,6 +79,93 @@ class TestDedup:
         kept = {r.doc_id for r in dedup.exact_dedup(df).collect()}
         assert kept == {1, 3}
 
+    def test_exact_dedup_prefilter_parity(self, spark):
+        # round-4 verdict item #6: the (length, xxhash64) prefilter must be
+        # output-invariant vs single-pass md5 grouping — including texts of
+        # EQUAL length but different content (same _len, different _xh) and
+        # multiple independent duplicate groups.
+        rows = (
+            [(i, "duplicated text alpha") for i in range(3)]
+            + [(10 + i, "duplicated text bravo") for i in range(2)]  # same len as alpha
+            + [(20, "unique sentence one"), (21, "unique sentence two")]  # same len
+            + [(30, ""), (31, ""), (32, None)]
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        groups = {r.content_hash: (r.n_docs, r.keeper)
+                  for r in dedup.exact_duplicate_groups(df).collect()}
+        import hashlib
+
+        h = lambda t: hashlib.md5(t.encode()).hexdigest()
+        assert groups == {
+            h("duplicated text alpha"): (3, 0),
+            h("duplicated text bravo"): (2, 10),
+            h(""): (2, 30),
+        }
+        kept = {r.doc_id for r in dedup.exact_dedup(df).collect()}
+        # a single null-text row is no group (n_docs > 1 filter) — kept
+        assert kept == {0, 10, 20, 21, 30, 32}
+
+    def test_exact_dedup_null_texts_group(self, spark):
+        # ≥2 null texts group together (md5(null) = null key), matching the
+        # single-pass md5 groupBy — the prefilter's coalesced length key
+        # must not exempt them
+        df = spark.createDataFrame(
+            [(1, None), (2, None), (3, "real text")], "doc_id long, text string"
+        )
+        groups = dedup.exact_duplicate_groups(df).collect()
+        assert len(groups) == 1 and groups[0].n_docs == 2 and groups[0].keeper == 1
+        kept = {r.doc_id for r in dedup.exact_dedup(df).collect()}
+        assert kept == {1, 3}
+
+    def test_capped_paths_release_caches_via_handle(self, spark):
+        # round-4 verdict item #4: the capped candidate paths persist
+        # internal tables; cache_handle lets eager consumers release them
+        # so a long-lived session does not accumulate storage blocks.
+        import time as _t
+
+        def n_cached():
+            return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+        spark.catalog.clearCache()
+        base = n_cached()
+        docs = spark.createDataFrame(
+            [(i, f"some sentence number {i} about spark and caching behavior")
+             for i in range(30)],
+            "doc_id long, text string",
+        )
+        emb = spark.createDataFrame(
+            [(i, [float(i % 7), 1.0, -0.5, float(i)]) for i in range(30)],
+            "vec_id long, embedding array<float>",
+        )
+        handle: list = []
+        dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                                  max_doc_freq=10, cache_handle=handle).count()
+        sim = dedup.with_simhash(docs, CFG)
+        dedup.simhash_candidate_pairs(sim, max_bucket_size=10,
+                                      cache_handle=handle).count()
+        dedup.lsh_bucketed_cosine_pairs(emb, dim=4, threshold=0.9, n_planes=4,
+                                        n_tables=2, max_bucket_size=10,
+                                        cache_handle=handle).count()
+        assert len(handle) == 3  # one persisted table per capped path
+        assert n_cached() > base
+        for h_df in handle:
+            h_df.unpersist(blocking=True)
+        assert n_cached() == base
+
+    def test_ann_default_is_uncapped(self, spark):
+        # round-4 advice: max_bucket_size defaults to None (pre-round-4
+        # semantics) — scale callers opt in explicitly.
+        import inspect
+
+        sig = inspect.signature(dedup.lsh_bucketed_cosine_pairs)
+        assert sig.parameters["max_bucket_size"].default is None
+
+    def test_vocab_bounds(self):
+        from lexis_minhash_spark.sources import synth
+
+        with pytest.raises(ValueError):
+            synth._build_vocab(n_words=100_000_000)
+
     def test_ngram_jaccard_pairs(self, spark):
         df = spark.createDataFrame(
             [

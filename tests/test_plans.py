@@ -142,6 +142,22 @@ class TestStagePlans:
         # map-side partial agg before the shuffle (HashAggregate x2)
         assert plan.count("HashAggregate") >= 2, plan
 
+    def test_exact_dedup_narrow_prefilter_exchange(self, spark, docs):
+        # round-4 verdict item #6: the FIRST exchange carries the 12-byte
+        # (length, xxhash64) key, not full text or a 32-char md5 hex —
+        # md5 runs only on the suspect rows that survive the semi-join
+        from lexis_minhash_spark.operators.dedup import exact_duplicate_groups
+
+        plan = plan_of(exact_duplicate_groups(docs))
+        assert "xxhash64" in plan, plan
+        # the suspect-key filter is a semi-join ahead of the md5 groupBy
+        assert "LeftSemi" in plan, plan
+        # md5 must appear downstream of (above) the semi join, never below
+        # it: everything below the join is the narrow key pipeline
+        md5_pos = plan.index("md5")
+        semi_pos = plan.index("LeftSemi")
+        assert md5_pos < semi_pos, plan  # toString prints top-down
+
     def test_ngram_jaccard_is_pure_sql(self, spark, docs):
         from lexis_minhash_spark.operators.dedup import ngram_jaccard_pairs
 
