@@ -101,7 +101,14 @@ def main() -> None:
     # table twice (count pass + collect_set pass) — unpersisted, the
     # posexplode would recompute from sig for each
     bands = ops.bands_table(sig).persist()
-    cands = ops.candidate_pairs_grouped(bands, max_bucket_size=10_000)
+    # packed 64-bit band key: the candidate shuffle carries (band_key,
+    # doc_id) instead of the 20-byte composite; merge-only collisions are
+    # absorbed by the exact verify (ops.pack_band_key) — pair/cluster
+    # counts are unchanged
+    packed = bands.select("doc_id", ops.pack_band_key().alias("band_key"))
+    cands = ops.candidate_pairs_grouped(
+        packed, max_bucket_size=10_000, key_cols=("band_key",)
+    )
     # persist the edge list: connected_components runs a size probe AND a
     # collect — unpersisted, the candidates+verify subtree executes twice
     ver = ops.verified_pairs(cands, sig, 0.75).persist()

@@ -33,9 +33,16 @@ _U32_FULL = np.uint32(0xFFFFFFFF)
 _WS_RE = re.compile(r"\s+")
 
 # Max elements in one (shingles x signature_size) block during min-reduce;
-# bounds peak scratch to ~BLOCK_ELEMS * 8 B per buffer.  1M elements (8 MB)
-# measured fastest on the target hosts (cache-resident beats fewer blocks).
-BLOCK_ELEMS = 1_000_000
+# bounds peak scratch to ~BLOCK_ELEMS * 8 B per buffer.  The carry chain
+# re-reads the block ~8x after the GEMMs, so the block must be CACHE
+# resident: the round-4 value (1M elems = 8 MB/buffer, several buffers)
+# spilled every pass to L3/DRAM.  A round-5 sweep
+# (scripts/kernel_block_sweep.py, checksum-gated) measured 48k elems
+# (384 KB/buffer, ~1.5 MB working set = L2-resident) at +10-25% docs/s
+# over 1M, with a wide flat plateau 16k-64k (any L2-ish size works; 2M =
+# 16 MB/buffer measured 2x SLOWER).  Blocks never split a document, so
+# the effective floor is one doc (~200 shingles x S).
+BLOCK_ELEMS = 48_000
 
 
 # ---------------------------------------------------------------------------

@@ -227,8 +227,13 @@ def audio_near_dup_pairs(
         # the corpus three times
         sig = sig.persist()
         bands = ops.bands_table(sig, id_col=id_col)
+        # packed 64-bit band key for the candidate shuffle (merge-only
+        # collisions absorbed by the exact verify — ops.pack_band_key)
+        packed = bands.select(F.col(id_col), ops.pack_band_key().alias("band_key"))
         cands = (
-            ops.candidate_pairs_grouped(bands, id_col=id_col, max_bucket_size=max_bucket_size)
+            ops.candidate_pairs_grouped(packed, id_col=id_col,
+                                        max_bucket_size=max_bucket_size,
+                                        key_cols=("band_key",))
             if max_bucket_size is not None
             else ops.candidate_pairs(bands, id_col=id_col)
         )
@@ -236,8 +241,13 @@ def audio_near_dup_pairs(
     sig = sig.persist()
     try:
         bands = ops.bands_table(sig, id_col=id_col)
+        # packed 64-bit band key for the candidate shuffle (merge-only
+        # collisions absorbed by the exact verify — ops.pack_band_key)
+        packed = bands.select(F.col(id_col), ops.pack_band_key().alias("band_key"))
         cands = (
-            ops.candidate_pairs_grouped(bands, id_col=id_col, max_bucket_size=max_bucket_size)
+            ops.candidate_pairs_grouped(packed, id_col=id_col,
+                                        max_bucket_size=max_bucket_size,
+                                        key_cols=("band_key",))
             if max_bucket_size is not None
             else ops.candidate_pairs(bands, id_col=id_col)
         )

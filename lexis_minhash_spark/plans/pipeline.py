@@ -142,11 +142,20 @@ class DedupPipeline:
             signature_fn = lambda d: ops.with_signatures(d, self.cfg, text_col, id_col)
         sig = self._run_stage("signatures", lambda: signature_fn(docs))
         bands = self._run_stage("bands", lambda: ops.bands_table(sig, id_col=id_col))
+        # the bands CHECKPOINT keeps the composite (band_idx, band_hash) —
+        # the query path needs it — but the candidate shuffle carries the
+        # packed 64-bit key computed map-side on read (round-4 verdict
+        # item #1: smaller exchange rows; collisions only merge buckets,
+        # absorbed by the exact verify — see ops.pack_band_key)
+        packed = bands.select(
+            F.col(id_col), ops.pack_band_key().alias("band_key")
+        )
         cands = self._run_stage(
             "candidates",
             lambda: (
                 ops.candidate_pairs_grouped(
-                    bands, id_col=id_col, max_bucket_size=self.max_bucket_size
+                    packed, id_col=id_col, max_bucket_size=self.max_bucket_size,
+                    key_cols=("band_key",),
                 )
                 if self.max_bucket_size is not None
                 else ops.candidate_pairs(bands, id_col=id_col)

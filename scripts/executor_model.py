@@ -145,8 +145,17 @@ elif phase == "cmap":
     sig = spark.read.parquet(src)
     sig.count()
     t0 = time.monotonic()
-    bands = ops.bands_table(sig).withColumn(
-        "band_shard", F.pmod(F.xxhash64("band_idx", "band_hash"), F.lit(4)))
+    # round-4 verdict item #1: shrink the cand-reduce exchange row.  The
+    # (band_idx:int, band_hash:long, doc_id:long) 20-byte row becomes
+    # (doc_id:int, band_key:long) 12 bytes — band key packed via
+    # ops.pack_band_key (deterministic; collisions only merge buckets,
+    # which the exact verify absorbs), doc ids cast to int32 (sound for
+    # any corpus with ids < 2^31; at 10^12 rows keep longs and the pack
+    # still saves 8 of 20 bytes).  The shard key reuses the packed key.
+    bands = (ops.bands_table(sig)
+             .select(F.col("doc_id").cast("int").alias("doc_id"),
+                     ops.pack_band_key().alias("band_key"))
+             .withColumn("band_shard", F.pmod(F.col("band_key"), F.lit(4))))
     bands.write.mode("overwrite").partitionBy("band_shard").parquet(
         f"{work}/cmap/shard_{tag}")
     wall = time.monotonic() - t0
@@ -161,10 +170,12 @@ elif phase == "noop":
     wall = time.monotonic() - t0
 elif phase == "cred":
     src = shards_of(f"{work}/cmap/shard_*/band_shard=SHARD")
-    bands = spark.read.parquet(src).select("doc_id", "band_idx", "band_hash")
+    bands = spark.read.parquet(src).select("doc_id", "band_key")
     bands.count()
     t0 = time.monotonic()
-    cands = ops.candidate_pairs_grouped(bands, max_bucket_size=10_000)
+    # single-long bucket key: the grouped shuffle carries 12-byte rows
+    cands = ops.candidate_pairs_grouped(
+        bands, max_bucket_size=10_000, key_cols=("band_key",))
     # plain write: the pair table is tiny (~tens of MB); the next phase
     # filters its a-shard from a full scan instead of partition-pruning
     # (a dynamic-partition write here measured +40-60 s/shard under
@@ -185,7 +196,10 @@ elif phase == "joina":
     sigs = spark.read.parquet(sig_src)
     cands.count(); sigs.count()
     t0 = time.monotonic()
-    sa = sigs.select(F.col("doc_id").alias("a"), F.col("sig_arr").alias("sig_a"))
+    # pair rows are (a:int, b:int) — 8 bytes through the global distinct
+    # and the b_shard handoff (sig_a dominates the latter regardless)
+    sa = sigs.select(F.col("doc_id").cast("int").alias("a"),
+                     F.col("sig_arr").alias("sig_a"))
     j1 = (cands.select("a", "b").distinct()
           .join(sa, "a")
           .withColumn("b_shard", F.pmod(F.col("b"), F.lit(4))))
@@ -203,7 +217,8 @@ elif phase == "joinb":
     sigs = spark.read.parquet(sig_src)
     j1.count(); sigs.count()
     t0 = time.monotonic()
-    sb = sigs.select(F.col("doc_id").alias("b"), F.col("sig_arr").alias("sig_b"))
+    sb = sigs.select(F.col("doc_id").cast("int").alias("b"),
+                     F.col("sig_arr").alias("sig_b"))
     ver = (j1.join(sb, "b")
            .withColumn("similarity", sig_similarity_expr("sig_a", "sig_b"))
            .where(F.col("similarity") >= F.lit(THRESH))
@@ -269,6 +284,21 @@ def main():
                     help="reps per phase per side; best-of is kept "
                     "(identical gated runs on this co-tenant host swing "
                     "up to 4x — best-of is the repo-standard defense)")
+    ap.add_argument("--serial", action="store_true",
+                    help="round-4 verdict item #5: additionally run the 4 "
+                    "exec-side shards back-to-back in ONE process slot per "
+                    "phase.  serial_sum/4 vs the concurrent max-wall "
+                    "separates engine inefficiency from host co-tenancy: "
+                    "if serial_sum/4 ~= base/4 but the concurrent max is "
+                    "far above it, the gap is the shared memory bus / "
+                    "co-tenant steal, not the sharded plan")
+    ap.add_argument("--phases", default=None,
+                    help="comma-separated subset of phases to (re)measure "
+                    "(e.g. cred,joina,joinb); earlier phases' outputs must "
+                    "already exist — combine with --keep")
+    ap.add_argument("--keep", action="store_true",
+                    help="reuse existing work dirs instead of clearing "
+                    "(iterating on later phases)")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -302,15 +332,19 @@ def main():
     # regime, like scaling_bench's alternating reps)
     base_work = f"{root}_{args.clips}_base"
     exec_work = f"{root}_{args.clips}_exec"
-    shutil.rmtree(base_work, ignore_errors=True)
+    if not args.keep:
+        shutil.rmtree(base_work, ignore_errors=True)
+        shutil.rmtree(exec_work, ignore_errors=True)
     link_input(base_work)
-    shutil.rmtree(exec_work, ignore_errors=True)
     link_input(exec_work)
+    run_phases = (args.phases.split(",") if args.phases
+                  else PHASES + ["cc"])
     base: dict = {}
     base_reps: dict = {}
     shards: dict = {}
     shard_reps: dict = {}
-    for ph in PHASES + ["cc"]:
+    serial_shards: dict = {}
+    for ph in run_phases:
         b_walls, e_walls = [], []
         for rep in range(args.reps):
             load = wait_for_quiet(args.quiet)
@@ -331,6 +365,18 @@ def main():
                 e_walls.append(walls)
                 print(f"exec {ph} rep{rep}: shards {walls} max {max(walls)}s "
                       f"(load {load:.1f})", flush=True)
+        if args.serial and ph != "cc":
+            # the co-tenancy probe: same 4 shard jobs, ONE process slot,
+            # back-to-back — no self-contention between shards.  sum/4 is
+            # what a shard costs with the host to itself.
+            load = wait_for_quiet(args.quiet)
+            s_walls = []
+            for i in range(4):
+                p, f = run_phase_proc(ph, str(i), corpus, exec_work)
+                s_walls.append(collect(p, f))
+            serial_shards[ph] = s_walls
+            print(f"serial {ph}: shards {s_walls} sum/4 "
+                  f"{sum(s_walls) / 4:.1f}s (load {load:.1f})", flush=True)
         base[ph] = min(b_walls)
         base_reps[ph] = b_walls
         best = min(e_walls, key=max)
@@ -340,21 +386,37 @@ def main():
     results["base_reps"] = base_reps
     results["exec_shards"] = shards
     results["exec_shard_reps"] = shard_reps
-    cc_exec = max(shards["cc"])
+    if serial_shards:
+        results["serial_shards"] = serial_shards
+        results["cotenancy_factor"] = {
+            ph: round(max(shards[ph]) / (sum(w) / 4.0), 3)
+            for ph, w in serial_shards.items() if ph in shards
+        }
 
+    work = [ph for ph in WORK_PHASES if ph in base]
     per_phase = {
-        ph: round(base[ph] / (4.0 * max(shards[ph])), 3) for ph in WORK_PHASES
+        ph: round(base[ph] / (4.0 * max(shards[ph])), 3) for ph in work
     }
-    t_base = sum(base[ph] for ph in WORK_PHASES) + base["cc"]
-    t_exec = sum(max(shards[ph]) for ph in WORK_PHASES) + cc_exec
     results["per_phase_efficiency"] = per_phase
-    results["whole_job"] = {
-        "base_total_sec": round(t_base, 1),
-        "exec_total_sec": round(t_exec, 1),
-        "clips_per_sec_base": round(args.clips / t_base, 1),
-        "clips_per_sec_exec": round(args.clips / t_exec, 1),
-        "efficiency": round(t_base / (4.0 * t_exec), 3),
-    }
+    if "cc" in base and len(work) == len(WORK_PHASES):
+        cc_exec = max(shards["cc"])
+        t_base = sum(base[ph] for ph in work) + base["cc"]
+        t_exec = sum(max(shards[ph]) for ph in work) + cc_exec
+        results["whole_job"] = {
+            "base_total_sec": round(t_base, 1),
+            "exec_total_sec": round(t_exec, 1),
+            "clips_per_sec_base": round(args.clips / t_base, 1),
+            "clips_per_sec_exec": round(args.clips / t_exec, 1),
+            "efficiency": round(t_base / (4.0 * t_exec), 3),
+        }
+        if serial_shards and all(ph in serial_shards for ph in work):
+            # serial-adjusted whole job: the engine-attributable efficiency
+            # with the measured co-tenant term removed (denominator uses
+            # each phase's serial sum/4 — what the shard costs without its
+            # three siblings on the same memory bus)
+            t_serial = sum(sum(serial_shards[ph]) / 4.0 for ph in work) + cc_exec
+            results["whole_job"]["efficiency_serial_adjusted"] = round(
+                t_base / (4.0 * t_serial), 3)
     print(json.dumps(results))
 
 

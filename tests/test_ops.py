@@ -141,6 +141,27 @@ class TestPairsAndClusters:
         uncapped = ops.candidate_pairs_grouped(bands, max_bucket_size=None)
         assert uncapped.count() == 200 * 199 // 2 + 1
 
+    def test_packed_band_key_candidate_parity(self, spark, sig_df):
+        # scale path (round-4 verdict item #1): packing (band_idx,
+        # band_hash) into one xxhash64 long must yield the identical pair
+        # set — a deterministic pack never splits a bucket, and no merge
+        # collision occurs at test scale (nor, in expectation, below ~1e8
+        # buckets; merged buckets only ADD candidates for the verify).
+        bands = ops.bands_table(sig_df)
+        exact = {(r.a, r.b) for r in ops.candidate_pairs_grouped(
+            bands, max_bucket_size=None).collect()}
+        packed_bands = bands.select(
+            "doc_id", ops.pack_band_key().alias("band_key"))
+        packed = {(r.a, r.b) for r in ops.candidate_pairs_grouped(
+            packed_bands, max_bucket_size=None, key_cols=("band_key",)).collect()}
+        assert packed == exact
+        # capped path groups on the packed key too
+        packed_capped = {(r.a, r.b) for r in ops.candidate_pairs_grouped(
+            packed_bands, max_bucket_size=50, key_cols=("band_key",)).collect()}
+        exact_capped = {(r.a, r.b) for r in ops.candidate_pairs_grouped(
+            bands, max_bucket_size=50).collect()}
+        assert packed_capped == exact_capped
+
 
 class TestQueries:
     def test_query_candidates_match_oracle(self, spark, sig_df):
