@@ -39,6 +39,10 @@ def main():
          fmt(sig.select("doc_id", "is_zero", "n_shingles"))),
         ("Grouped candidate generation (single shuffle + in-SQL pair expansion)",
          fmt(cands)),
+        ("Grouped candidates, packed 64-bit band key (the scale path: one-long exchange rows)",
+         fmt(ops.candidate_pairs_grouped(
+             bands.select("doc_id", ops.pack_band_key().alias("band_key")),
+             max_bucket_size=10000, key_cols=("band_key",)))),
         ("Similarity verify (codegen zip_with/aggregate, no Python)",
          fmt(ops.verified_pairs(cands, sig, 0.75))),
         ("Query path (broadcast of query band rows)",
