@@ -77,6 +77,20 @@ def _q_candidate_pairs(spark, sf_dir):
     return ops.candidate_pairs(ops.bands_table(_sigs(spark, sf_dir)))
 
 
+def _q_candidate_pairs_packed(spark, sf_dir):
+    """The SCALE path for candidate generation (round-5): grouped pairs over
+    the packed 64-bit band key (ops.pack_band_key) with the hot-bucket cap,
+    checked against the SAME composite-key DuckDB oracle as
+    lsh_candidate_pairs — a deterministic pack never splits a bucket, and a
+    merge collision would surface here as extra rows, so a green hash on
+    this query is a per-round proof of the pack's soundness at this SF."""
+    bands = ops.bands_table(_sigs(spark, sf_dir))
+    packed = bands.select("doc_id", ops.pack_band_key().alias("band_key"))
+    return ops.candidate_pairs_grouped(
+        packed, max_bucket_size=10_000, key_cols=("band_key",)
+    )
+
+
 def _q_verified_pairs(spark, sf_dir):
     sig = _sigs(spark, sf_dir).cache()
     ver = ops.verified_pairs(ops.candidate_pairs(ops.bands_table(sig)), sig, THRESHOLD)
@@ -345,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature_slots": _q_signature_slots,
         "lsh_bands": _q_bands,
         "lsh_candidate_pairs": _q_candidate_pairs,
+        "lsh_candidate_pairs_packed": _q_candidate_pairs_packed,
         "minhash_verified_pairs": _q_verified_pairs,
         "minhash_clusters": _q_clusters,
         "band_load_factors": _q_band_load_factors,
@@ -748,6 +763,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature_slots": D.signature_slots_sql(CFG, where=SLOT_SCOPE),
         "lsh_bands": D.bands_sql(CFG, where=SLOT_SCOPE),
         "lsh_candidate_pairs": D.candidate_pairs_sql(CFG),
+        # the packed-key scale path must produce the IDENTICAL pair set —
+        # the oracle deliberately stays on the composite (band_idx,
+        # band_hash) grouping
+        "lsh_candidate_pairs_packed": D.candidate_pairs_sql(CFG),
         "minhash_verified_pairs": D.verified_pairs_sql(CFG, THRESHOLD),
         "minhash_clusters": D.clusters_sql(CFG, THRESHOLD),
         "band_load_factors": D.band_load_factors_sql(CFG),

@@ -225,6 +225,60 @@ elif phase == "joinb":
            .select("a", "b", "similarity"))
     ver.write.mode("overwrite").parquet(f"{work}/verified/shard_{tag}")
     wall = time.monotonic() - t0
+elif phase == "prepcc":
+    # untimed: symmetrized CC input split by node shard — a cluster's CC
+    # round reads the verified edge table already partitioned by node key
+    # (the previous round's exchange wrote it that way)
+    ver = spark.read.parquet(f"{work}/verified/shard_*")
+    edges = ver.select("a", "b").where(F.col("a") != F.col("b")).distinct()
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    t0 = time.monotonic()
+    (sym.withColumn("node_shard", F.pmod(F.col("a"), F.lit(4)))
+        .write.mode("overwrite").partitionBy("node_shard")
+        .parquet(f"{work}/ccsym/round_0"))
+    wall = time.monotonic() - t0
+elif phase == "ccls":
+    # one large-star half-round (operators/cc.py:_large_star), node-sharded:
+    # the per-node min aggregate and the join-back are LOCAL to the node
+    # shard (all rows of node u live in shard pmod(u,4)); the output edges
+    # re-key by their other endpoint, so the symmetrized write partitioned
+    # by the new node shard IS the round's exchange.  Cross-shard duplicate
+    # edges dedup at the next reader (reduce-side distinct), as on a
+    # cluster.
+    src = shards_of(f"{work}/ccsym/round_0/node_shard=SHARD")
+    nbrs = spark.read.parquet(src).select("a", "b")
+    nbrs.count()
+    t0 = time.monotonic()
+    mins = nbrs.groupBy("a").agg(F.least(F.min("b"), F.col("a")).alias("m"))
+    out = (nbrs.join(mins, "a").where(F.col("b") > F.col("a"))
+           .select(F.col("b").alias("a"), F.col("m").alias("b"))
+           .where(F.col("a") != F.col("b")).distinct())
+    osym = out.union(out.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    (osym.withColumn("node_shard", F.pmod(F.col("a"), F.lit(4)))
+         .write.mode("overwrite").partitionBy("node_shard")
+         .parquet(f"{work}/ccls/shard_{tag}"))
+    wall = time.monotonic() - t0
+elif phase == "ccss":
+    # one small-star half-round (operators/cc.py:_small_star), node-sharded
+    # the same way; the timed region includes the reduce-side dedup of the
+    # large-star exchange it consumes.
+    src = shards_of(f"{work}/ccls/shard_*/node_shard=SHARD")
+    sym = spark.read.parquet(src).select("a", "b")
+    sym.count()
+    t0 = time.monotonic()
+    sym = sym.distinct()
+    canon = sym.where(F.col("b") < F.col("a"))
+    mins = canon.groupBy("a").agg(F.min("b").alias("m"))
+    nbr_edges = (canon.join(mins, "a").where(F.col("b") != F.col("m"))
+                 .select(F.col("b").alias("a"), F.col("m").alias("b")))
+    center_edges = mins.select(F.col("a"), F.col("m").alias("b"))
+    out = (nbr_edges.union(center_edges)
+           .where(F.col("a") != F.col("b")))
+    osym = out.union(out.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    (osym.withColumn("node_shard", F.pmod(F.col("a"), F.lit(4)))
+         .write.mode("overwrite").partitionBy("node_shard")
+         .parquet(f"{work}/ccss/shard_{tag}"))
+    wall = time.monotonic() - t0
 elif phase == "cc":
     ver = spark.read.parquet(f"{work}/verified/shard_*")
     sigs = spark.read.parquet(f"{work}/sigs/*")
@@ -339,6 +393,16 @@ def main():
     link_input(exec_work)
     run_phases = (args.phases.split(",") if args.phases
                   else PHASES + ["cc"])
+    if any(ph in run_phases for ph in ("ccls", "ccss")):
+        # CC-round phases consume the verified edge list of a prior full
+        # run (--keep); the untimed prepcc split writes the symmetrized
+        # node-sharded round-0 table per side
+        for work in (base_work, exec_work):
+            if not os.path.exists(f"{work}/ccsym/round_0/node_shard=3/_SUCCESS"):
+                assert os.path.isdir(f"{work}/verified"), (
+                    f"{work}/verified missing — run the joinb phase first")
+                p, f = run_phase_proc("prepcc", "all", corpus, work)
+                print(f"prepcc {work} (untimed): {collect(p, f)}s", flush=True)
     base: dict = {}
     base_reps: dict = {}
     shards: dict = {}
@@ -395,9 +459,15 @@ def main():
 
     work = [ph for ph in WORK_PHASES if ph in base]
     per_phase = {
-        ph: round(base[ph] / (4.0 * max(shards[ph])), 3) for ph in work
+        ph: round(base[ph] / (4.0 * max(shards[ph])), 3)
+        for ph in base if ph not in ("noop", "cc")
     }
     results["per_phase_efficiency"] = per_phase
+    if serial_shards:
+        results["per_phase_efficiency_serial_adjusted"] = {
+            ph: round(base[ph] / (4.0 * sum(w) / 4.0), 3)
+            for ph, w in serial_shards.items() if ph in base
+        }
     if "cc" in base and len(work) == len(WORK_PHASES):
         cc_exec = max(shards["cc"])
         t_base = sum(base[ph] for ph in work) + base["cc"]
