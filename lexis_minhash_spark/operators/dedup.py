@@ -47,6 +47,23 @@ def _persist_tracked(df: DataFrame, cache_handle: list | None) -> DataFrame:
     return df
 
 
+def _materialize_parquet(df: DataFrame, path: str) -> DataFrame:
+    """Write ``df`` to parquet at ``path`` and read it back — the cluster
+    shape for pay-once internal tables with a ONE-PASS consumer set.
+
+    Executor cache (``_persist_tracked``) is right for a long-lived
+    session re-consuming the table; for a batch job that reads it exactly
+    twice (hot-key count + main pass) and exits, cache pays a
+    MEMORY_AND_DISK write into executors whose blocks die with them,
+    while a parquet handoff is durable (survives executor loss without
+    lineage recompute), columnar-compressed, and composes with the
+    pipeline's checkpoint/resume layout (``plans/pipeline.py`` stages do
+    exactly this).  NOTE: eager — the write runs at call time, not at the
+    caller's action; the caller owns the path's lifecycle."""
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -171,6 +188,7 @@ def simhash_candidate_pairs(
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
     cache_handle: list | None = None,
+    materialize_path: str | None = None,
 ) -> DataFrame:
     """Hamming-near pairs: split each fingerprint into ``num_blocks`` 16-bit
     block keys; docs within Hamming distance ``num_blocks - 1`` share at
@@ -200,7 +218,10 @@ def simhash_candidate_pairs(
     mask = (1 << width) - 1
     sim_df = sim_df.where(F.col("simhash") != 0)
     if max_bucket_size is not None:
-        sim_df = _persist_tracked(sim_df, cache_handle)
+        if materialize_path is not None:
+            sim_df = _materialize_parquet(sim_df, materialize_path)
+        else:
+            sim_df = _persist_tracked(sim_df, cache_handle)
     blocks = sim_df.select(
         F.col(id_col),
         F.col("simhash"),
@@ -266,6 +287,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int | None = 1000,
     cache_handle: list | None = None,
+    materialize_path: str | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard pairs ≥ threshold.
 
@@ -336,7 +358,10 @@ def ngram_jaccard_pairs(
     if max_doc_freq is not None:
         # two consumers below (hot count + anti-join) — persist so the
         # split/transform/explode pipeline runs once (see docstring)
-        ex = _persist_tracked(ex, cache_handle)
+        if materialize_path is not None:
+            ex = _materialize_parquet(ex, materialize_path)
+        else:
+            ex = _persist_tracked(ex, cache_handle)
         hot = (
             ex.groupBy("gram")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -487,6 +512,7 @@ def lsh_bucketed_cosine_pairs(
     scale: float = 1024.0,
     max_bucket_size: int | None = None,
     cache_handle: list | None = None,
+    materialize_path: str | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: ``n_tables`` independent
     sign-projection buckets; candidates = same bucket in any table; verify
@@ -538,7 +564,10 @@ def lsh_bucketed_cosine_pairs(
         # pass and the anti-join would otherwise both recompute the
         # n_tables bucket UDFs (pay-twice, as in the round-3 ngram case).
         # Cache lifetime: see _persist_tracked / cache_handle.
-        tagged = _persist_tracked(tagged, cache_handle)
+        if materialize_path is not None:
+            tagged = _materialize_parquet(tagged, materialize_path)
+        else:
+            tagged = _persist_tracked(tagged, cache_handle)
         hot = (
             tagged.groupBy("table_idx", "bucket")
             .agg(F.count(F.lit(1)).alias("n"))

@@ -71,7 +71,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 PHASE_JOB = r"""
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 from lexis_minhash_spark.session import get_spark
@@ -237,6 +237,32 @@ elif phase == "prepcc":
         .write.mode("overwrite").partitionBy("node_shard")
         .parquet(f"{work}/ccsym/round_0"))
     wall = time.monotonic() - t0
+elif phase == "ccgen":
+    # untimed: deterministic clustered graph at the DISTRIBUTED CC path's
+    # operating size.  ops.connected_components deliberately runs
+    # driver-serial below 2M edges (where per-round fixed costs dominate
+    # any sharding — the 1M-clip verified list is ~50k pairs); the
+    # large-star/small-star path engages above that, so its scaling must
+    # be measured on a graph of that size.  Pure id arithmetic
+    # (xxhash64), no external data: chains-of-16 clusters (near-dup
+    # cluster shape) + ~2% of edges pointing at 64 hot hubs (the
+    # boilerplate-cluster degree-skew case large-star exists for).
+    E = int(os.environ.get("LEXIS_CC_EDGES", "20000000"))
+    N = max(E // 4, 16)
+    ids = spark.range(E)
+    u = F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(N))
+    cl_base = (u - F.pmod(u, F.lit(16))).cast("long")
+    v_in = cl_base + F.pmod(F.xxhash64(F.col("id"), F.lit(2)), F.lit(16))
+    is_hub = F.pmod(F.xxhash64(F.col("id"), F.lit(3)), F.lit(1000)) < 20
+    v = F.when(is_hub, F.pmod(u, F.lit(64))).otherwise(v_in)
+    edges = (ids.select(u.alias("a"), v.alias("b"))
+             .where(F.col("a") != F.col("b")).distinct())
+    sym = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    t0 = time.monotonic()
+    (sym.withColumn("node_shard", F.pmod(F.col("a"), F.lit(4)))
+        .write.mode("overwrite").partitionBy("node_shard")
+        .parquet(f"{work}/ccsym/round_0"))
+    wall = time.monotonic() - t0
 elif phase == "ccls":
     # one large-star half-round (operators/cc.py:_large_star), node-sharded:
     # the per-node min aggregate and the join-back are LOCAL to the node
@@ -353,6 +379,11 @@ def main():
     ap.add_argument("--keep", action="store_true",
                     help="reuse existing work dirs instead of clearing "
                     "(iterating on later phases)")
+    ap.add_argument("--cc-edges", type=int, default=None,
+                    help="measure the ccls/ccss round phases on a "
+                    "deterministic synthetic clustered graph of this many "
+                    "edges (the distributed CC path's >2M-edge operating "
+                    "regime) instead of the pipeline's verified pairs")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -394,15 +425,23 @@ def main():
     run_phases = (args.phases.split(",") if args.phases
                   else PHASES + ["cc"])
     if any(ph in run_phases for ph in ("ccls", "ccss")):
-        # CC-round phases consume the verified edge list of a prior full
-        # run (--keep); the untimed prepcc split writes the symmetrized
-        # node-sharded round-0 table per side
+        # CC-round phases consume either the verified edge list of a prior
+        # full run (--keep) or, with --cc-edges, a synthetic graph at the
+        # distributed path's operating size; the untimed prep writes the
+        # symmetrized node-sharded round-0 table per side
+        if args.cc_edges:
+            os.environ["LEXIS_CC_EDGES"] = str(args.cc_edges)
+            results["cc_edges"] = args.cc_edges
         for work in (base_work, exec_work):
-            if not os.path.exists(f"{work}/ccsym/round_0/node_shard=3/_SUCCESS"):
-                assert os.path.isdir(f"{work}/verified"), (
-                    f"{work}/verified missing — run the joinb phase first")
-                p, f = run_phase_proc("prepcc", "all", corpus, work)
-                print(f"prepcc {work} (untimed): {collect(p, f)}s", flush=True)
+            marker = f"{work}/ccsym/round_0/node_shard=3/_SUCCESS"
+            if args.cc_edges or not os.path.exists(marker):
+                if args.cc_edges:
+                    p, f = run_phase_proc("ccgen", "all", corpus, work)
+                else:
+                    assert os.path.isdir(f"{work}/verified"), (
+                        f"{work}/verified missing — run the joinb phase first")
+                    p, f = run_phase_proc("prepcc", "all", corpus, work)
+                print(f"cc prep {work} (untimed): {collect(p, f)}s", flush=True)
     base: dict = {}
     base_reps: dict = {}
     shards: dict = {}
