@@ -47,13 +47,25 @@ class DedupPipeline:
         threshold: float = 0.75,
         max_bucket_size: int | None = 10_000,
         input_desc: str = "",
+        sig_buckets: int | None = None,
     ):
+        """``sig_buckets``: when set, the signatures checkpoint is written
+        as a BUCKETED datasource table (``bucketBy(n, id).sortBy(id)``)
+        instead of a plain parquet directory.  Both verify-join legs and
+        the cluster join read signatures by id, so with a bucketed
+        checkpoint Catalyst elides the signature-side exchange entirely —
+        only the thin (a, b) pair list shuffles.  At 10^12 rows the
+        signature payload (~0.5 KB/row) is the table that must never
+        move; this is the cluster-native layout (Iceberg: a bucket
+        partition transform on the id column).  Plan-asserted in
+        tests/test_plans.py."""
         self.spark = spark
         self.cfg = cfg
         self.workdir = workdir.rstrip("/")
         self.threshold = threshold
         self.max_bucket_size = max_bucket_size
         self.input_desc = input_desc
+        self.sig_buckets = sig_buckets
         self.results: list[StageResult] = []
         os.makedirs(self.workdir, exist_ok=True)
 
@@ -65,19 +77,62 @@ class DedupPipeline:
     def _done(self, stage: str) -> bool:
         return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
 
-    def _run_stage(self, stage: str, build) -> DataFrame:
+    def _table_name(self, stage: str) -> str:
+        import hashlib
+
+        h = hashlib.md5(self.workdir.encode()).hexdigest()[:10]
+        return f"lexis_ckpt_{stage}_{h}"
+
+    def _register_bucketed(self, name: str, path: str, col: str, n: int) -> None:
+        """Re-attach an existing bucketed checkpoint to the (session-local)
+        catalog on resume, preserving its bucket spec for exchange elision."""
+        if self.spark.catalog.tableExists(name):
+            return
+        schema = self.spark.read.parquet(path).schema
+        cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+        self.spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING parquet "
+            f"CLUSTERED BY (`{col}`) SORTED BY (`{col}`) INTO {n} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+
+    def _run_stage(self, stage: str, build, bucket_col: str | None = None) -> DataFrame:
         """Idempotent stage: skip if checkpoint exists, else build + write.
         Returns the checkpointed DataFrame (always read back from disk so
-        downstream lineage is cut at every stage boundary)."""
+        downstream lineage is cut at every stage boundary).  With
+        ``bucket_col`` (and ``sig_buckets`` configured) the checkpoint is
+        a bucketed table; downstream equi-joins on that column read it
+        exchange-free."""
         path = self._path(stage)
+        bucketed = bucket_col is not None and self.sig_buckets is not None
         t0 = time.monotonic()
         if self._done(stage):
-            df = self.spark.read.parquet(path)
+            if bucketed:
+                name = self._table_name(stage)
+                self._register_bucketed(name, path, bucket_col, self.sig_buckets)
+                df = self.spark.table(name)
+            else:
+                df = self.spark.read.parquet(path)
             self.results.append(StageResult(stage, path, -1, 0, skipped=True))
             return df
         df = build()
-        df.write.mode("overwrite").parquet(path)
-        out = self.spark.read.parquet(path)
+        if bucketed:
+            name = self._table_name(stage)
+            self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(self.sig_buckets, bucket_col)
+                .sortBy(bucket_col)
+                .option("path", path)
+                .saveAsTable(name)
+            )
+            out = self.spark.table(name)
+        else:
+            df.write.mode("overwrite").parquet(path)
+            out = self.spark.read.parquet(path)
         rows = out.count()
         # per-partition lineage (north_rule): row histogram of the
         # checkpointed stage output, keyed by partition id
@@ -140,7 +195,9 @@ class DedupPipeline:
         payload-agnostic."""
         if signature_fn is None:
             signature_fn = lambda d: ops.with_signatures(d, self.cfg, text_col, id_col)
-        sig = self._run_stage("signatures", lambda: signature_fn(docs))
+        sig = self._run_stage(
+            "signatures", lambda: signature_fn(docs), bucket_col=id_col
+        )
         bands = self._run_stage("bands", lambda: ops.bands_table(sig, id_col=id_col))
         # the bands CHECKPOINT keeps the composite (band_idx, band_hash) —
         # the query path needs it — but the candidate shuffle carries the

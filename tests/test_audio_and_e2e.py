@@ -293,3 +293,37 @@ class TestCheckpointResume:
         cl = p.run(docs, text_col="transcript", id_col="clip_id")
         res = {r.doc_id: r.cluster_id for r in cl.collect()}
         assert res == {11: 11, 12: 11, 13: 13}
+
+    def test_bucketed_signature_checkpoint_resume(self, spark, tmp_path):
+        # round-5: sig_buckets writes the signatures checkpoint as a
+        # bucketed table (exchange-free verify joins, see test_plans) —
+        # results must be identical to the plain-parquet checkpoint, and
+        # resume in a fresh catalog must re-register the bucket spec.
+        workdir = str(tmp_path / "ckpt_bkt")
+        docs = spark.createDataFrame(
+            [
+                (1, "apple banana orange fruit salad recipe with apple and banana"),
+                (2, "apple banana orange fruit salad recipe with apple and banana"),
+                (3, "completely unrelated cooking about pasta and sauce"),
+            ],
+            "doc_id long, text string",
+        )
+        p1 = DedupPipeline(spark, CFG, workdir, sig_buckets=4)
+        res1 = {r.doc_id: r.cluster_id for r in p1.run(docs).collect()}
+        assert res1 == {1: 1, 2: 1, 3: 3}
+        name = p1._table_name("signatures")
+        assert spark.catalog.tableExists(name)
+
+        # simulate a new session's empty catalog + a mid-run kill
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{workdir}/verified")
+        shutil.rmtree(f"{workdir}/clusters")
+        p2 = DedupPipeline(spark, CFG, workdir, sig_buckets=4)
+        res2 = {r.doc_id: r.cluster_id for r in p2.run(docs).collect()}
+        assert res2 == res1
+        skipped = {r.name: r.skipped for r in p2.results}
+        assert skipped["signatures"] and not skipped["verified"]
+        # the re-registered table carries the bucket spec
+        assert spark.catalog.tableExists(name)
+        ddl = spark.sql(f"SHOW CREATE TABLE {name}").collect()[0][0]
+        assert "CLUSTERED BY" in ddl and "4 BUCKETS" in ddl, ddl

@@ -203,3 +203,32 @@ class TestStagePlans:
         )
         assert m, plan
         assert m.start() < plan.index("LeftAnti"), plan
+
+    def test_bucketed_sig_checkpoint_elides_sig_exchanges(self, spark, tmp_path, docs):
+        # round-5: with a BUCKETED signature checkpoint (bucketBy(id)) the
+        # two verify-join legs read signatures exchange-free — only the
+        # thin (a, b) pair list shuffles.  At 10^12 rows the ~0.5 KB/row
+        # signature payload is the side that must never move.
+        from lexis_minhash_spark.plans.pipeline import DedupPipeline
+
+        workdir = str(tmp_path / "bktplan")
+        p = DedupPipeline(spark, CFG, workdir, sig_buckets=8)
+        p.run(docs.limit(300))
+        sig_bucketed = spark.table(p._table_name("signatures"))
+        sig_plain = spark.read.parquet(f"{workdir}/signatures")
+        cands = spark.read.parquet(f"{workdir}/candidates")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            n_bkt = plan_of(ops.verified_pairs(cands, sig_bucketed, 0.75)).count(
+                "Exchange hashpartitioning"
+            )
+            n_plain = plan_of(ops.verified_pairs(cands, sig_plain, 0.75)).count(
+                "Exchange hashpartitioning"
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # plain parquet: pairs-by-a, sig-by-a, joined-by-b, sig-by-b = 4;
+        # bucketed: both signature-side exchanges elided = 2
+        assert n_plain == 4, n_plain
+        assert n_bkt == 2, n_bkt
