@@ -110,6 +110,12 @@ def main() -> int:
                     "decode UDF parallelizes WITHOUT shuffling the binary "
                     "column (profiled: the blob shuffle, not the decode, "
                     "dominates otherwise)")
+    ap.add_argument("--sig-buckets", type=int, default=0,
+                    help="write the signatures checkpoint as a bucketed "
+                    "table with this many buckets (0 = plain parquet). "
+                    "Both verify-join legs and the cluster join then read "
+                    "signatures exchange-free — size to ~one bucket per "
+                    "executor core at the target scale")
     ap.add_argument("--local", default=None, help="local[N] master for smoke runs")
     args = ap.parse_args()
 
@@ -185,6 +191,7 @@ def main() -> int:
         threshold=args.threshold,
         max_bucket_size=args.max_bucket_size,
         input_desc=args.input,
+        sig_buckets=args.sig_buckets or None,
     )
     signature_fn = None
     if args.mode == "audio":

@@ -37,6 +37,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE re-picks the join strategy from ACTUAL post-shuffle sizes, so
+        # a larger adaptive threshold is low-risk and high-value here: the
+        # verify join's deduped pair list routinely lands just above the
+        # 10 MB default (measured 13 MB at 1M clips), and missing the
+        # broadcast conversion costs a full exchange+sort of the signature
+        # table (measured 115 s vs 41.5 s).  Static threshold unchanged —
+        # pre-shuffle size estimates are unreliable.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

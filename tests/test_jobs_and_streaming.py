@@ -39,6 +39,24 @@ class TestDedupJob:
         assert res2["rows"] == res["rows"] and res2["clusters"] == res["clusters"]
         assert all(s["skipped"] for s in res2["stages"])
 
+    def test_cli_sig_buckets(self, tmp_path):
+        # --sig-buckets: bucketed signatures checkpoint (exchange-free
+        # verify joins) must be result-identical to the plain checkpoint
+        workdir = str(tmp_path / "run_bkt")
+        cmd = [
+            sys.executable, "jobs/dedup_job.py",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--workdir", workdir,
+            "--text-col", "text", "--id-col", "doc_id",
+            "--sig-buckets", "4",
+            "--local", "local[4]",
+        ]
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=600, cwd="/root/repo")
+        assert out.returncode == 0, out.stderr[-2000:]
+        res = json.loads([l for l in out.stdout.splitlines() if l.strip().startswith("{")][-1])
+        assert res["rows"] == 500
+        assert res["clusters"] == 476  # same as the plain-checkpoint run
+
     def test_cli_audio_mode(self, spark, tmp_path):
         from lexis_minhash_spark.sources.synth import clips_spark_df
 
