@@ -176,18 +176,24 @@ elif phase == "cred":
     # single-long bucket key: the grouped shuffle carries 12-byte rows
     cands = ops.candidate_pairs_grouped(
         bands, max_bucket_size=10_000, key_cols=("band_key",))
-    # plain write: the pair table is tiny (~tens of MB); the next phase
-    # filters its a-shard from a full scan instead of partition-pruning
-    # (a dynamic-partition write here measured +40-60 s/shard under
-    # 4-way concurrency for no read-side benefit at this size)
-    cands.write.mode("overwrite").parquet(f"{work}/cands/shard_{tag}")
+    # a_shard-partitioned handoff (the cluster shuffle keyed by the next
+    # phase's reduce key), with repartition-on-the-partition-column FIRST
+    # so each writer task emits exactly one file per a_shard dir.  A round-4
+    # attempt WITHOUT the repartition measured +40-60 s/shard under 4-way
+    # concurrency (every task writing every partition dir -> 4x the files
+    # + commit churn); collapsing to one-file-per-dir removes that.
+    (cands.withColumn("a_shard", F.pmod(F.col("a"), F.lit(4)))
+          .repartition("a_shard")
+          .write.mode("overwrite").partitionBy("a_shard")
+          .parquet(f"{work}/cands/shard_{tag}"))
     wall = time.monotonic() - t0
 elif phase == "joina":
     # leg 1 of the verify join: global pair dedup (all duplicates of a
     # pair share a's shard) + attach sig_a; output partitioned by b_shard
-    cands = spark.read.parquet(f"{work}/cands/shard_*")
-    if shard_i is not None:
-        cands = cands.where(F.pmod(F.col("a"), F.lit(4)) == shard_i)
+    # pruned read of this exec's own a_shard dirs across the 4 cred
+    # writers (same leaf-glob pattern as joinb's b_shard read; a mixed
+    # shard_*/a_shard=* discovery would need per-root unions instead)
+    cands = spark.read.parquet(shards_of(f"{work}/cands/shard_*/a_shard=SHARD"))
     sig_src = (f"{work}/sigs/all/id_shard={tag}" if shard_i is not None
                else f"{work}/sigs/all")
     # exec reads its own sig shard dir written by the sig phase
