@@ -568,3 +568,16 @@ class TestSuffixArray:
                 # overshoot is only permitted when both suffixes are
                 # identical to end-of-string (clamped away by callers)
                 assert g == k or s[a:] == s[b:]
+
+
+class TestSessionDefaults:
+    def test_adaptive_broadcast_threshold_default(self, spark):
+        # round-5: AQE converts from ACTUAL post-shuffle sizes, so the
+        # adaptive threshold is raised to 64m (a 13 MB deduped pair list
+        # over the 10 MB default cost a full signature-table exchange);
+        # the static estimate-based threshold stays at Spark's default.
+        assert (
+            spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+            == "64m"
+        )
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
