@@ -327,3 +327,25 @@ class TestCheckpointResume:
         assert spark.catalog.tableExists(name)
         ddl = spark.sql(f"SHOW CREATE TABLE {name}").collect()[0][0]
         assert "CLUSTERED BY" in ddl and "4 BUCKETS" in ddl, ddl
+
+    def test_bucketed_checkpoint_string_ids(self, spark, tmp_path):
+        # north-rule input uses clip_id:string — the bucketed signature
+        # checkpoint (bucketBy on the id column) must behave identically
+        # for string ids, including the cluster join-back.
+        workdir = str(tmp_path / "ckpt_bkt_str")
+        docs = spark.createDataFrame(
+            [
+                ("clip_a", "apple banana orange fruit salad recipe with apple and banana"),
+                ("clip_b", "apple banana orange fruit salad recipe with apple and banana"),
+                ("clip_c", "completely unrelated cooking about pasta and sauce"),
+            ],
+            "clip_id string, transcript string",
+        )
+        p = DedupPipeline(spark, CFG, workdir, sig_buckets=4)
+        cl = p.run(docs, text_col="transcript", id_col="clip_id")
+        res = {r.doc_id: r.cluster_id for r in cl.collect()}
+        assert res == {"clip_a": "clip_a", "clip_b": "clip_a", "clip_c": "clip_c"}
+        ddl = spark.sql(
+            f"SHOW CREATE TABLE {p._table_name('signatures')}"
+        ).collect()[0][0]
+        assert "CLUSTERED BY" in ddl, ddl
