@@ -261,7 +261,7 @@ elif phase == "prepcc":
 elif phase == "ccgen":
     # untimed: deterministic clustered graph at the DISTRIBUTED CC path's
     # operating size.  ops.connected_components deliberately runs
-    # driver-serial below 2M edges (where per-round fixed costs dominate
+    # driver-serial below 5M edges (where per-round fixed costs dominate
     # any sharding — the 1M-clip verified list is ~50k pairs); the
     # large-star/small-star path engages above that, so its scaling must
     # be measured on a graph of that size.  Pure id arithmetic
@@ -403,7 +403,7 @@ def main():
     ap.add_argument("--cc-edges", type=int, default=None,
                     help="measure the ccls/ccss round phases on a "
                     "deterministic synthetic clustered graph of this many "
-                    "edges (the distributed CC path's >2M-edge operating "
+                    "edges (the distributed CC path's above-threshold operating "
                     "regime) instead of the pipeline's verified pairs")
     args = ap.parse_args()
 

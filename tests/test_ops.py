@@ -87,7 +87,7 @@ class TestPairsAndClusters:
         g = {(r.a, r.b) for r in ops.candidate_pairs_grouped(bands).collect()}
         assert j == g
 
-    @pytest.mark.parametrize("driver_threshold", [2_000_000, None])
+    @pytest.mark.parametrize("driver_threshold", [5_000_000, None])
     def test_clusters(self, spark, sig_df, driver_threshold):
         # both physical strategies: driver union-find and distributed
         # min-label propagation must agree with the oracle
