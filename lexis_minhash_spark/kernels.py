@@ -23,6 +23,7 @@ single blocked ``minimum.reduceat`` min-reduce instead of N Python loops.
 from __future__ import annotations
 
 import math
+import os
 import re
 
 import numpy as np
@@ -84,16 +85,27 @@ def shingle_hashes_bytes(data: np.ndarray, k: int) -> np.ndarray:
     reference's incremental rolling form (rolling.cr:44-62), computed as k
     fused vector Horner steps.
 
-    Perf note: x86 has no SIMD 64-bit integer multiply, and on this class of
-    host NumPy's uint64 ``*`` is ~100x slower than float64 ``*``.  The Horner
-    step therefore runs on two 32-bit limbs held in float64 (exact: every
-    intermediate < 2^38 << 2^53), and the limbs are recombined to uint64 at
-    the end.  Bit-identical to the u64 reference path
-    (_shingle_hashes_bytes_u64, kept for cross-checks).
+    Perf note: NumPy uint64 ``*`` throughput is HOST-DEPENDENT — earlier
+    sandbox hosts measured it ~100x slower than float64 ``*`` (no SIMD
+    64-bit multiply), which motivated the 32-bit-limb float64 Horner fast
+    path below; the current host runs u64 multiply at float64 parity,
+    where the direct u64 Horner (2 passes/step vs the limbs' 8) measured
+    40x FASTER.  ``_pick_rolling_backend`` times both once per process
+    and routes accordingly (override: LEXIS_ROLLING_BACKEND=u64|limb).
+    Both are bit-identical by construction and property-cross-checked.
     """
     n = int(data.shape[0]) - k + 1
     if n <= 0:
         return np.empty(0, dtype=np.uint64)
+    if _pick_rolling_backend(k) == "u64":
+        return _shingle_hashes_bytes_u64(data, k)
+    return _shingle_hashes_bytes_limb(data, k)
+
+
+def _shingle_hashes_bytes_limb(data: np.ndarray, k: int) -> np.ndarray:
+    """32-bit-limb float64 Horner (exact: every intermediate < 2^38 <<
+    2^53) — the fast path on hosts where u64 multiply is crippled."""
+    n = int(data.shape[0]) - k + 1
     two32 = 4294967296.0  # 2^32
     lo = np.zeros(n, dtype=np.float64)
     hi = np.zeros(n, dtype=np.float64)
@@ -114,17 +126,52 @@ def shingle_hashes_bytes(data: np.ndarray, k: int) -> np.ndarray:
 
 
 def _shingle_hashes_bytes_u64(data: np.ndarray, k: int) -> np.ndarray:
-    """Reference u64 implementation (slow on hosts without SIMD u64 mul);
-    kept for property-test cross-checking of the limb fast path."""
+    """Direct u64 Horner (in-place): 1 multiply + 1 add per step, exact
+    mod-2^64 by C unsigned wraparound.  The calibrated fast path on hosts
+    with full-rate u64 multiply; also the cross-check twin for the limb
+    path."""
     n = int(data.shape[0]) - k + 1
     if n <= 0:
         return np.empty(0, dtype=np.uint64)
     d = data.astype(np.uint64)
-    with np.errstate(over="ignore"):
-        h = np.zeros(n, dtype=np.uint64)
-        for j in range(k):
-            h = h * P + d[j : j + n]
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        np.multiply(h, P, out=h)
+        np.add(h, d[j : j + n], out=h)
     return h
+
+
+_ROLLING_BACKEND: str | None = None
+
+
+def _pick_rolling_backend(k: int) -> str:
+    """One-time per-process calibration of the rolling-hash Horner backend
+    (direct u64 vs 32-bit float64 limbs) — same host-dependence story as
+    _pick_mulshift_backend; measured 40x either way across host classes."""
+    global _ROLLING_BACKEND
+    env = os.environ.get("LEXIS_ROLLING_BACKEND")
+    if env in ("u64", "limb"):
+        return env
+    if _ROLLING_BACKEND is not None:
+        return _ROLLING_BACKEND
+    import time as _time
+
+    data = (np.arange(65536, dtype=np.uint32) % 251).astype(np.uint8)
+    kk = max(2, min(int(k), 16))
+    best = {}
+    for name in ("u64", "limb"):
+        t_best = None
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            if name == "u64":
+                _shingle_hashes_bytes_u64(data, kk)
+            else:
+                _shingle_hashes_bytes_limb(data, kk)
+            dt = _time.perf_counter() - t0
+            t_best = dt if t_best is None else min(t_best, dt)
+        best[name] = t_best
+    _ROLLING_BACKEND = "u64" if best["u64"] <= best["limb"] else "limb"
+    return _ROLLING_BACKEND
 
 
 def shingle_hashes_text(text: str, k: int) -> np.ndarray:
@@ -295,6 +342,99 @@ def _get_scratch(max_rows: int, s: int) -> _MulShiftScratch:
     return sc
 
 
+class _U64Scratch:
+    def __init__(self, max_rows: int, s: int):
+        self.max_rows = max_rows
+        self.m = np.empty((max_rows, s), dtype=np.uint64)
+
+
+_U64_SCRATCH_CACHE: dict[int, _U64Scratch] = {}
+
+
+def _get_u64_scratch(max_rows: int, s: int) -> _U64Scratch:
+    sc = _U64_SCRATCH_CACHE.get(s)
+    if sc is None or sc.max_rows < max_rows:
+        _U64_SCRATCH_CACHE.clear()  # bounded RSS
+        sc = _U64Scratch(max_rows, s)
+        _U64_SCRATCH_CACHE[s] = sc
+    return sc
+
+
+_U64_SHIFT32 = np.uint64(32)
+
+
+def _mulshift_high32_u64(
+    h: np.ndarray, a: np.ndarray, b: np.ndarray,
+    scratch: _U64Scratch | None = None,
+    shift: bool = True,
+) -> np.ndarray:
+    """``((a*h + b) mod 2^64) >> 32`` via direct uint64 wraparound →
+    uint64[n, S] view into ``scratch``.  Three elementwise passes
+    (mul, add, shift) versus the limb-GEMM path's 2 GEMMs + 6
+    carry/mod passes — bit-identical by construction (C unsigned
+    wraparound IS mod 2^64).
+
+    ``shift=False`` returns the full 64-bit ``(a*h + b) mod 2^64``:
+    ``>> 32`` is monotone non-decreasing, so it commutes with the
+    min-reduce — the caller shifts only the REDUCED (docs × S) block,
+    saving one full-size pass (same deferral family as the GEMM path's
+    scale_out=False).
+
+    Which path is faster is HOST-DEPENDENT: earlier sandbox hosts ran
+    NumPy's u64 ``*`` ~100× slower than float64 (the measurement that
+    motivated the limb-GEMM formulation); the current host runs u64
+    multiply at float64 parity, making this path ~2.5× faster
+    end-to-end.  ``_pick_mulshift_backend`` measures both once per
+    process and picks the winner (override: LEXIS_MULSHIFT_BACKEND)."""
+    n = int(h.shape[0])
+    s = int(a.shape[0])
+    if scratch is None or scratch.max_rows < n:
+        scratch = _get_u64_scratch(n, s)
+    m = scratch.m[:n]
+    np.multiply(h[:, None], a[None, :], out=m)
+    m += b[None, :]
+    if shift:
+        np.right_shift(m, _U64_SHIFT32, out=m)
+    return m
+
+
+_MULSHIFT_BACKEND: str | None = None
+
+
+def _pick_mulshift_backend(s: int) -> str:
+    """One-time per-process calibration: time one block through each
+    backend on synthetic data and keep the faster (ties → u64, fewer
+    passes).  ~10 ms once; env LEXIS_MULSHIFT_BACKEND=u64|gemm pins it
+    (tests use this to assert cross-backend parity)."""
+    global _MULSHIFT_BACKEND
+    env = os.environ.get("LEXIS_MULSHIFT_BACKEND")
+    if env in ("u64", "gemm"):
+        return env
+    if _MULSHIFT_BACKEND is not None:
+        return _MULSHIFT_BACKEND
+    import time as _time
+
+    n = max(256, BLOCK_ELEMS // max(s, 1))
+    h = (np.arange(1, n + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    a = (np.arange(1, s + 1, dtype=np.uint64) * np.uint64(0xBF58476D1CE4E5B9)) | np.uint64(1)
+    b = np.arange(s, dtype=np.uint64) * np.uint64(0x94D049BB133111EB)
+    coeffs = _prep_coeff_limbs(a, b)
+    best = {}
+    for name in ("u64", "gemm"):
+        t_best = None
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            if name == "u64":
+                _mulshift_high32_u64(h, a, b)
+            else:
+                _mulshift_high32(h, coeffs, scale_out=False)
+            dt = _time.perf_counter() - t0
+            t_best = dt if t_best is None else min(t_best, dt)
+        best[name] = t_best
+    _MULSHIFT_BACKEND = "u64" if best["u64"] <= best["gemm"] else "gemm"
+    return _MULSHIFT_BACKEND
+
+
 def _mulshift_high32(
     h: np.ndarray,
     coeffs,
@@ -402,12 +542,17 @@ def minhash_batch(
     h = hashes_concat
     w = weights_concat
     eff_counts = counts.astype(np.int64)
-    if w is None and h.size:
+    use_u64 = w is None and _pick_mulshift_backend(s) == "u64"
+    if w is None and h.size and not use_u64:
         # min-reduce is idempotent in the unweighted path (the slot value is
         # a pure function of the shingle hash), so duplicate shingles within
         # a document are dropped before the expensive multiply-shift.
-        # Repetitive corpora measure up to ~30% duplicates; the lexsort is
-        # ~2% of kernel time.  NOT valid for the weighted paths: a caller
+        # Repetitive corpora measure up to ~30% duplicates.  GEMM backend
+        # only: there the lexsort is ~2% of kernel time; on the u64 backend
+        # the multiply-shift got cheap enough that the lexsort costs MORE
+        # than the duplicate work it saves (measured ~1.2 s sort vs ~0.4 s
+        # saved at 4.1M shingles), so duplicates are just re-minimized.
+        # NOT valid for the weighted paths: a caller
         # may supply different weights for equal hashes (from-hashes API).
         doc_ids = np.repeat(np.arange(n_docs), eff_counts)
         order = np.lexsort((h, doc_ids))
@@ -446,9 +591,13 @@ def minhash_batch(
     ne_starts = starts_all[ne_idx]
     ne_counts = eff_counts[ne_idx]
 
-    # block over documents so the (shingles x S) float64 intermediate stays
-    # bounded; each block is one BLAS matmul set + carry chain + reduceat
-    coeffs = _coeff_limbs_cached(a, b)
+    # block over documents so the (shingles x S) intermediate stays
+    # bounded; each block is one multiply-shift pass + reduceat.  The
+    # unweighted path picks the calibrated multiply-shift backend (direct
+    # uint64 vs limb-GEMM — host-dependent, see _pick_mulshift_backend);
+    # the weighted path stays on the limb-GEMM (its divisor fold consumes
+    # the H·2^-32 float form directly).
+    coeffs = None if use_u64 else _coeff_limbs_cached(a, b)
     rows_per_block = max(1, BLOCK_ELEMS // s)
     # precompute block boundaries (consecutive docs until budget exceeded)
     block_bounds = [0]
@@ -470,7 +619,7 @@ def minhash_batch(
             for i in range(len(block_bounds) - 1)
             if block_bounds[i] < block_bounds[i + 1]
         )
-    scratch = _get_scratch(max_rows, s)
+    scratch = _get_u64_scratch(max_rows, s) if use_u64 else _get_scratch(max_rows, s)
     for bi in range(len(block_bounds) - 1):
         doc_pos, end = block_bounds[bi], block_bounds[bi + 1]
         if doc_pos >= end:
@@ -479,11 +628,20 @@ def minhash_batch(
         hi = int(ne_starts[end - 1] + ne_counts[end - 1])
         n_rows = hi - lo
         if n_rows > scratch.max_rows:  # lone doc larger than the block budget
-            scratch = _get_scratch(n_rows, s)
+            scratch = _get_u64_scratch(n_rows, s) if use_u64 else _get_scratch(n_rows, s)
+        local_starts = (ne_starts[doc_pos:end] - lo).astype(np.intp)
+        if use_u64:
+            # exact uint64 wraparound; min-reduce on the FULL 64-bit
+            # values (>>32 is monotone, so it commutes with min) and
+            # shift+downcast only the reduced (docs × S) block
+            mu = _mulshift_high32_u64(h[lo:hi], a, b, scratch, shift=False)
+            reduced_u = np.minimum.reduceat(mu, local_starts, axis=0)
+            np.right_shift(reduced_u, _U64_SHIFT32, out=reduced_u)
+            out[ne_idx[doc_pos:end]] = reduced_u.astype(np.uint32)
+            continue
         # H·2^-32 units: the final ×2^32 pass is deferred past the reduce
         # (unweighted) or folded into the divisor (weighted)
         m = _mulshift_high32(h[lo:hi], coeffs, scratch, scale_out=False)
-        local_starts = (ne_starts[doc_pos:end] - lo).astype(np.intp)
         if w is not None:
             dv = divisor[lo:hi]
             fw = scratch.fw[:n_rows]

@@ -150,7 +150,10 @@ class TestDedup:
         assert n_cached() > base
         for h_df in handle:
             h_df.unpersist(blocking=True)
-        assert n_cached() == base
+        # <=: the baseline can include localCheckpoint RDDs from earlier
+        # tests in the session, which the ContextCleaner may GC mid-test;
+        # the property under test is "no NET new storage blocks"
+        assert n_cached() <= base
 
     def test_capped_paths_materialize_to_parquet(self, spark, tmp_path):
         # round-4 verdict "what's wrong" #3: for one-pass batch consumers
@@ -175,7 +178,7 @@ class TestDedup:
             sim, max_bucket_size=10,
             materialize_path=str(tmp_path / "sim_fp")).collect()}
         assert mat == cached
-        assert n_cached() == base  # parquet handoff, no storage blocks
+        assert n_cached() <= base  # parquet handoff, no NET new blocks
         assert (tmp_path / "sim_fp" / "_SUCCESS").exists()
         g_cached = {(r.a, r.b) for r in dedup.ngram_jaccard_pairs(
             docs, n=3, threshold=0.5, max_doc_freq=10).collect()}
@@ -184,7 +187,7 @@ class TestDedup:
             docs, n=3, threshold=0.5, max_doc_freq=10,
             materialize_path=str(tmp_path / "grams")).collect()}
         assert g_mat == g_cached
-        assert n_cached() == base
+        assert n_cached() <= base
 
     def test_ann_default_is_uncapped(self, spark):
         # round-4 advice: max_bucket_size defaults to None (pre-round-4

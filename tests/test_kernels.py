@@ -345,3 +345,52 @@ class TestSimhash:
         fp = np.array([0x0123456789ABCDEF], dtype=np.uint64)
         blocks = K.simhash_block_keys(fp, 4)[0]
         assert blocks.tolist() == [0xCDEF, 0x89AB, 0x4567, 0x0123]
+
+
+class TestMulshiftBackends:
+    """Round-5: the multiply-shift backend is host-calibrated (direct
+    uint64 vs limb-GEMM).  Both must be bit-identical on every input —
+    C unsigned wraparound IS mod 2^64, so this is a hard equality."""
+
+    def _signatures(self, backend, h, counts, a, b, monkeypatch):
+        import importlib
+        monkeypatch.setenv("LEXIS_MULSHIFT_BACKEND", backend)
+        return K.minhash_batch(h, counts, a, b)
+
+    def test_backends_bit_identical(self, monkeypatch):
+        rng = np.random.default_rng(7)
+        counts = rng.integers(0, 90, 64)
+        n = int(counts.sum())
+        h = rng.integers(0, 2**64, n, dtype=np.uint64)
+        a, b = seeded_coefficients(12345, 100)
+        s1 = self._signatures("u64", h, counts, a, b, monkeypatch)
+        s2 = self._signatures("gemm", h, counts, a, b, monkeypatch)
+        assert np.array_equal(s1, s2)
+
+    @given(
+        st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=200),
+        st.integers(min_value=1, max_value=64),
+    )
+    @settings(max_examples=30, deadline=None)
+    def test_backends_bit_identical_property(self, hashes, s):
+        import os as _os
+        h = np.array(hashes, dtype=np.uint64)
+        counts = np.array([len(hashes)])
+        a, b = seeded_coefficients(99, s)
+        old = _os.environ.get("LEXIS_MULSHIFT_BACKEND")
+        try:
+            _os.environ["LEXIS_MULSHIFT_BACKEND"] = "u64"
+            s1 = K.minhash_batch(h, counts, a, b)
+            _os.environ["LEXIS_MULSHIFT_BACKEND"] = "gemm"
+            s2 = K.minhash_batch(h, counts, a, b)
+        finally:
+            if old is None:
+                _os.environ.pop("LEXIS_MULSHIFT_BACKEND", None)
+            else:
+                _os.environ["LEXIS_MULSHIFT_BACKEND"] = old
+        assert np.array_equal(s1, s2)
+
+    def test_calibration_picks_a_backend(self):
+        import lexis_minhash_spark.kernels as KK
+        choice = KK._pick_mulshift_backend(100)
+        assert choice in ("u64", "gemm")
