@@ -816,16 +816,21 @@ def _simhash_mix(h64: np.ndarray) -> np.ndarray:
     from lexis_minhash_spark.config import seeded_coefficients
 
     a, b = seeded_coefficients(SIMHASH_MIX_SEED, 2)
-    coeffs = _coeff_limbs_cached(a, b)
     h = np.ascontiguousarray(h64, dtype=np.uint64)
     n = int(h.shape[0])
     out = np.empty(n, dtype=np.uint64)
+    use_u64 = _pick_mulshift_backend(2) == "u64"
+    coeffs = None if use_u64 else _coeff_limbs_cached(a, b)
     # block with one reused scratch — an unblocked call allocates ~80 B of
     # fresh scratch per shingle, which page-faults on this host class
     rows = max(1, min(BLOCK_ELEMS // 2, n))
-    scratch = _get_scratch(rows, 2)
+    scratch = _get_u64_scratch(rows, 2) if use_u64 else _get_scratch(rows, 2)
     for lo_i in range(0, n, rows):
         hi_i = min(lo_i + rows, n)
+        if use_u64:
+            mu = _mulshift_high32_u64(h[lo_i:hi_i], a, b, scratch)
+            out[lo_i:hi_i] = (mu[:, 0] << np.uint64(32)) | mu[:, 1]
+            continue
         m = _mulshift_high32(h[lo_i:hi_i], coeffs, scratch)
         out[lo_i:hi_i] = (m[:, 0].astype(np.uint64) << np.uint64(32)) | m[:, 1].astype(
             np.uint64
