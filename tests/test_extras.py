@@ -121,13 +121,11 @@ class TestDedup:
         # round-4 verdict item #4: the capped candidate paths persist
         # internal tables; cache_handle lets eager consumers release them
         # so a long-lived session does not accumulate storage blocks.
-        import time as _t
-
-        def n_cached():
-            return spark.sparkContext._jsc.getPersistentRDDs().size()
-
-        spark.catalog.clearCache()
-        base = n_cached()
+        # round-5 verdict #1: assert on the handle's OWN DataFrames
+        # (is_cached / storageLevel before and after unpersist), never on
+        # the session-global getPersistentRDDs() count — other tests in the
+        # shared session fixture mutate that count asynchronously
+        # (ContextCleaner GC), which made the global-count form flake.
         docs = spark.createDataFrame(
             [(i, f"some sentence number {i} about spark and caching behavior")
              for i in range(30)],
@@ -147,13 +145,13 @@ class TestDedup:
                                         n_tables=2, max_bucket_size=10,
                                         cache_handle=handle).count()
         assert len(handle) == 3  # one persisted table per capped path
-        assert n_cached() > base
+        for h_df in handle:
+            # each handle entry is a persisted (MEMORY_AND_DISK) table
+            assert h_df.is_cached
+            assert h_df.storageLevel.useMemory and h_df.storageLevel.useDisk
         for h_df in handle:
             h_df.unpersist(blocking=True)
-        # <=: the baseline can include localCheckpoint RDDs from earlier
-        # tests in the session, which the ContextCleaner may GC mid-test;
-        # the property under test is "no NET new storage blocks"
-        assert n_cached() <= base
+            assert not h_df.is_cached
 
     def test_capped_paths_materialize_to_parquet(self, spark, tmp_path):
         # round-4 verdict "what's wrong" #3: for one-pass batch consumers
