@@ -143,7 +143,12 @@ def audio_signature_udf(
                 }
             )
 
-    return _sig
+    # Deterministic in fact; marked non-deterministic so a filter on a
+    # struct field (bands_table's `~is_zero` over an unpersisted signature
+    # table) can never be pushed below the evaluation and duplicate the
+    # decode+fingerprint pass (guide §4.4 — same rationale as the text
+    # signature UDF in ops.make_signature_udf).
+    return _sig.asNondeterministic()
 
 
 def with_audio_signatures(

@@ -174,7 +174,14 @@ def simhash_udf(cfg):
             fps = K.simhash_batch(hc, counts)
             yield pd.Series(fps.view(np.int64))
 
-    return _simhash
+    # The function IS deterministic; the marker stops the optimizer from
+    # DUPLICATING it: a filter on the fingerprint column (the `simhash != 0`
+    # zero-quarantine) otherwise gets pushed below the evaluation, yielding
+    # TWO ArrowEvalPython nodes — one of them below the repartition
+    # exchange, i.e. the whole corpus fingerprinted serially on the one
+    # pre-repartition scan task (guide §4.4; measured in the r06 before
+    # plan: plans/r06/simhash_pairs_before.txt nodes (4)/(9)).
+    return _simhash.asNondeterministic()
 
 
 def with_simhash(df: DataFrame, cfg, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -352,8 +359,19 @@ def ngram_jaccard_pairs(
     ex = toks.select(F.col(id_col), F.explode(gram_arr).alias("gram"))
     # FULL (pre-cap) per-doc distinct-gram counts, computed MAP-SIDE as
     # size(array_distinct(...)) — no shuffle (the former
-    # ex.groupBy(id).count() exchanged every exploded gram row by doc id)
-    n_df = toks.select(F.col(id_col), F.size(gram_arr).alias("n_grams"))
+    # ex.groupBy(id).count() exchanged every exploded gram row by doc id).
+    # coalesce(…, 0): size() here is nullable (text is nullable), so the
+    # final `jaccard >= threshold` filter makes the optimizer infer
+    # isnotnull(n_grams) and push it below the repartition exchange —
+    # dragging the ENTIRE split/transform/array_distinct expression onto
+    # the single pre-repartition scan task (measured 3.2 s serial on the
+    # sf0.1 bench; plans/r06/ngram_jaccard_before.txt node (29)).  The
+    # coalesce makes the column provably non-null, so the inferred filter
+    # constant-folds away.  Semantics unchanged: a null-text doc has no
+    # grams, never appears in `ex`, and so never reaches the join.
+    n_df = toks.select(
+        F.col(id_col), F.coalesce(F.size(gram_arr), F.lit(0)).alias("n_grams")
+    )
     kept = ex
     if max_doc_freq is not None:
         # two consumers below (hot count + anti-join) — persist so the
@@ -369,7 +387,13 @@ def ngram_jaccard_pairs(
             .select("gram")
         )
         kept = ex.join(F.broadcast(hot), "gram", "left_anti")
-    pl = kept.groupBy("gram").agg(F.sort_array(F.collect_set(F.col(id_col))).alias("ids"))
+    # collect_list + least/greatest pair normalization (not collect_set +
+    # sort_array): `ex` is distinct per (gram, doc) by construction (explode
+    # of array_distinct), so the per-key set dedup and sort are pure
+    # overhead; each i<j position pair is one shared gram either way, so
+    # the per-pair `inter` counts are unchanged (same rationale + measured
+    # win as ops.candidate_pairs_grouped).
+    pl = kept.groupBy("gram").agg(F.collect_list(F.col(id_col)).alias("ids"))
     pairs = (
         pl.where(F.size("ids") >= 2)
         .select(
@@ -377,7 +401,7 @@ def ngram_jaccard_pairs(
                 F.expr(
                     "flatten(transform(ids, (x, i) ->"
                     " transform(slice(ids, i + 2, size(ids) - i - 1), y ->"
-                    " struct(x as a, y as b))))"
+                    " struct(least(x, y) as a, greatest(x, y) as b))))"
                 )
             ).alias("p")
         )

@@ -124,7 +124,12 @@ def make_signature_udf(cfg: EngineConfig, weights_hashed: dict[int, float] | Non
         for texts in batches:
             yield _compute_batch(texts, cfg, weights_hashed)
 
-    return signature_udf
+    # Deterministic in fact; marked non-deterministic so the optimizer never
+    # duplicates the evaluation when a filter references a struct field
+    # (e.g. bands_table's `~is_zero` on an UNPERSISTED signature table would
+    # otherwise push the filter below and evaluate the whole signature UDF
+    # twice — once below the repartition exchange, serially; guide §4.4).
+    return signature_udf.asNondeterministic()
 
 
 def with_signatures(
@@ -229,8 +234,9 @@ def candidate_pairs_grouped(
     max_bucket_size: int | None = 1000,
     key_cols: tuple[str, ...] = ("band_idx", "band_hash"),
 ) -> DataFrame:
-    """Alternative candidate generation: group each bucket, emit sorted-id
-    combinations with a SQL ``transform`` (no self-join of the bands table).
+    """Alternative candidate generation: group each bucket, emit its id
+    combinations (normalized a < b per pair) with a SQL ``transform`` (no
+    self-join of the bands table).
 
     The hot-bucket cap runs BEFORE the array aggregation: a count-only
     groupBy (partial-aggregates map-side, so the hot key never concentrates
@@ -263,9 +269,16 @@ def candidate_pairs_grouped(
             .select(*keys)
         )
         b = b.join(F.broadcast(hot), keys, "left_anti")
+    # collect_list, not collect_set + sort_array: the input is distinct per
+    # (bucket, doc) by CONTRACT, so the set dedup (a per-key hash set in
+    # ObjectHashAggregate) and the sort buy nothing — pair order is
+    # normalized per pair with least/greatest instead, and the trailing
+    # distinct dedups across buckets as before.  Measured on the 50k-clip
+    # bench corpus (1M band rows): 3.63 s → 2.95 s for the candidate
+    # subtree, identical pair set (exceptAll both ways = 0).
     grouped = (
         b.groupBy(*keys)
-        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .agg(F.collect_list(id_col).alias("ids"))
         .where(F.size("ids") >= 2)
     )
     pairs = grouped.select(
@@ -273,7 +286,7 @@ def candidate_pairs_grouped(
             F.expr(
                 "flatten(transform(ids, (x, i) ->"
                 " transform(slice(ids, i + 2, size(ids) - i - 1), y ->"
-                " struct(x as a, y as b))))"
+                " struct(least(x, y) as a, greatest(x, y) as b))))"
             )
         ).alias("p")
     ).select("p.a", "p.b")
@@ -329,12 +342,22 @@ def verified_pairs(
     if "sig_arr" in sig_df.columns:
         from lexis_minhash_spark.functions.similarity import sig_similarity_expr
 
-        sa = sig_df.select(F.col(id_col).alias("a"), F.col("sig_arr").alias("sig_a"))
-        sb = sig_df.select(F.col(id_col).alias("b"), F.col("sig_arr").alias("sig_b"))
+        # Both verify legs join the IDENTICAL (id, sig_arr) subtree — not
+        # two differently-aliased projections — so when the planner
+        # broadcasts the signature side, the second leg reuses the first
+        # leg's built relation (ReusedExchange) instead of collecting and
+        # hashing the signature table twice (guide §2.4: two operations
+        # keyed the same way share one exchange).  Measured on the 50k-clip
+        # bench verify: 0.80 s → 0.59 s, identical output.
+        kv = sig_df.select(F.col(id_col).alias("_vid"), F.col("sig_arr").alias("_vsig"))
+        j1 = cand_df.join(kv, cand_df["a"] == kv["_vid"]).select(
+            "a", "b", F.col("_vsig").alias("sig_a")
+        )
+        j2 = j1.join(kv, j1["b"] == kv["_vid"]).select(
+            "a", "b", "sig_a", F.col("_vsig").alias("sig_b")
+        )
         return (
-            cand_df.join(sa, "a")
-            .join(sb, "b")
-            .withColumn("similarity", sig_similarity_expr("sig_a", "sig_b"))
+            j2.withColumn("similarity", sig_similarity_expr("sig_a", "sig_b"))
             .where(F.col("similarity") >= F.lit(threshold))
             .select("a", "b", "similarity")
         )
