@@ -135,14 +135,31 @@ def exact_duplicate_groups(
     )
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cache_handle: list | None = None,
+    materialize_path: str | None = None,
+) -> DataFrame:
     """Keep one row per distinct text (min id wins) — the drop stage.
 
     Same (length, xxhash64) prefilter as ``exact_duplicate_groups``: rows
     with a unique content key are kept without ever entering the md5
     shuffle; only suspect rows pay the confirm groupBy, and the loser ids
-    (suspects that are not their md5 group's min) are anti-joined away."""
+    (suspects that are not their md5 group's min) are anti-joined away.
+
+    The suspects subtree has TWO consumers (``w_min`` and ``losers``), so
+    the full-corpus prefilter lineage executes twice per action by
+    default.  For the 100 TB batch path pass ``materialize_path`` (durable
+    parquet handoff, the pipeline-checkpoint shape) or ``cache_handle``
+    (session persist, released by the caller) to pay it once — the same
+    escape hatch as the other capped candidate paths (round-5 advice)."""
     sus = _suspect_rows(df, text_col, id_col)
+    if materialize_path is not None:
+        sus = _materialize_parquet(sus, materialize_path)
+    elif cache_handle is not None:
+        sus = _persist_tracked(sus, cache_handle)
     w_min = (
         sus.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
         .agg(F.min(id_col).alias(id_col))
@@ -223,7 +240,13 @@ def simhash_candidate_pairs(
     ``spark.catalog.clearCache()`` between jobs (see _persist_tracked)."""
     width = 64 // num_blocks
     mask = (1 << width) - 1
-    sim_df = sim_df.where(F.col("simhash") != 0)
+    # project to the two columns every downstream consumer uses BEFORE the
+    # zero filter / persist: with_simhash output carries the text column,
+    # which would otherwise be cached (and re-scanned by the hot-count and
+    # join passes) for nothing — guide §2.3, project before the exchange
+    sim_df = sim_df.select(F.col(id_col), F.col("simhash")).where(
+        F.col("simhash") != 0
+    )
     if max_bucket_size is not None:
         if materialize_path is not None:
             sim_df = _materialize_parquet(sim_df, materialize_path)

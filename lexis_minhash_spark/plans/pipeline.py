@@ -83,9 +83,43 @@ class DedupPipeline:
         h = hashlib.md5(self.workdir.encode()).hexdigest()[:10]
         return f"lexis_ckpt_{stage}_{h}"
 
+    def _bucket_meta_path(self, path: str) -> str:
+        return os.path.join(path, "_lexis_bucket_spec.json")
+
+    def _write_bucket_meta(self, path: str, col: str, n: int) -> None:
+        with open(self._bucket_meta_path(path), "w") as f:
+            json.dump({"bucket_col": col, "n_buckets": n}, f)
+
     def _register_bucketed(self, name: str, path: str, col: str, n: int) -> None:
         """Re-attach an existing bucketed checkpoint to the (session-local)
-        catalog on resume, preserving its bucket spec for exchange elision."""
+        catalog on resume, preserving its bucket spec for exchange elision.
+
+        The bucket spec declared here MUST match the one the files were
+        written with: re-declaring with a different count (resume after a
+        --sig-buckets change) or over a previously PLAIN checkpoint would
+        make Spark elide exchanges on a wrong assumption and silently drop
+        join matches.  The spec of record is persisted at write time
+        (_lexis_bucket_spec.json next to _SUCCESS) and validated here
+        (round-5 advice)."""
+        meta_path = self._bucket_meta_path(path)
+        if not os.path.exists(meta_path):
+            raise ValueError(
+                f"checkpoint {path} has no bucket spec on record — it was "
+                "written as plain parquet (or by a pre-bucketing version); "
+                "resume it with sig_buckets=None, or delete the stage "
+                "directory to rebuild it bucketed"
+            )
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("n_buckets") != n or meta.get("bucket_col") != col:
+            raise ValueError(
+                f"checkpoint {path} was bucketed as "
+                f"{meta.get('n_buckets')} buckets on "
+                f"{meta.get('bucket_col')!r}; resuming with {n} buckets on "
+                f"{col!r} would register a wrong bucket spec and can "
+                "silently drop join matches — resume with the original "
+                "sig_buckets or delete the stage directory to rebuild"
+            )
         if self.spark.catalog.tableExists(name):
             return
         schema = self.spark.read.parquet(path).schema
@@ -129,6 +163,8 @@ class DedupPipeline:
                 .option("path", path)
                 .saveAsTable(name)
             )
+            # spec of record for resume validation (_register_bucketed)
+            self._write_bucket_meta(path, bucket_col, self.sig_buckets)
             out = self.spark.table(name)
         else:
             df.write.mode("overwrite").parquet(path)

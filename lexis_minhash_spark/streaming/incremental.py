@@ -126,11 +126,12 @@ def foreach_batch_candidates(
     original full-history aggregate runs (fine for bounded backfills).
 
     If no snapshot exists but the accumulated bands table already has
-    history (counts_path enabled on an existing table, or a stream
-    restarted with a FRESH checkpoint dir so batch ids reset), the first
-    snapshot is SEEDED from a one-time full-history aggregate — otherwise
-    the hot-key state would silently restart from one batch's delta and
-    stop quarantining the very keys that grew hot (round-4 advice).
+    history (``counts_path`` newly enabled on an existing table under the
+    same checkpoint), the first snapshot is SEEDED from a one-time
+    full-history aggregate — otherwise the hot-key state would silently
+    restart from one batch's delta and stop quarantining the very keys
+    that grew hot (round-4 advice).  A fresh checkpoint dir over an
+    existing output is outside the CONTRACT below regardless of seeding.
 
     EXACTLY-ONCE: all three sinks are replay-idempotent.  The pairs and
     bands outputs are written to ``<path>/batch_id=<id>/`` partition
@@ -155,7 +156,18 @@ def foreach_batch_candidates(
         spark = batch_sig.sparkSession
         batch_sig = batch_sig.persist()
         new_bands = ops.bands_table(batch_sig)
-        try:
+        # Probe history existence EXPLICITLY (Hadoop FS API, any scheme)
+        # instead of a bare except around the read: a transient listing
+        # error or corrupt footer must FAIL the batch so Structured
+        # Streaming retries it — swallowing it as "no history" would emit
+        # only new-vs-new pairs, commit, and permanently lose the
+        # cross-batch pairs for this batch (round-5 advice).  Only a
+        # genuinely absent/empty path means first batch.
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(accumulated_bands_path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        has_history = fs.exists(jpath) and len(fs.listStatus(jpath)) > 0
+        if has_history:
             old_all = spark.read.option("basePath", accumulated_bands_path).parquet(
                 accumulated_bands_path
             )
@@ -163,7 +175,7 @@ def foreach_batch_candidates(
                 old_bands = old_all.where(F.col("batch_id") < batch_id).drop("batch_id")
             else:  # pre-round-5 flat layout (no replay exclusion possible)
                 old_bands = old_all
-        except Exception:
+        else:
             old_bands = None
         target = new_bands if old_bands is None else new_bands.unionByName(old_bands)
         probe = new_bands

@@ -328,6 +328,36 @@ class TestCheckpointResume:
         ddl = spark.sql(f"SHOW CREATE TABLE {name}").collect()[0][0]
         assert "CLUSTERED BY" in ddl and "4 BUCKETS" in ddl, ddl
 
+    def test_bucketed_resume_validates_bucket_spec(self, spark, tmp_path):
+        # round-6 (round-5 advice): the bucket spec of record is persisted
+        # at write time; resuming with a DIFFERENT --sig-buckets, or
+        # bucketed over a previously PLAIN checkpoint, must raise instead
+        # of registering a wrong spec (which can silently drop joins).
+        import pytest
+
+        docs = spark.createDataFrame(
+            [
+                (1, "apple banana orange fruit salad recipe with apple and banana"),
+                (2, "apple banana orange fruit salad recipe with apple and banana"),
+            ],
+            "doc_id long, text string",
+        )
+        workdir = str(tmp_path / "ckpt_spec")
+        p1 = DedupPipeline(spark, CFG, workdir, sig_buckets=4)
+        p1.run(docs)
+        name = p1._table_name("signatures")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        p2 = DedupPipeline(spark, CFG, workdir, sig_buckets=8)
+        with pytest.raises(ValueError, match="4 buckets"):
+            p2.run(docs)
+
+        workdir_plain = str(tmp_path / "ckpt_plain")
+        p3 = DedupPipeline(spark, CFG, workdir_plain)
+        p3.run(docs)
+        p4 = DedupPipeline(spark, CFG, workdir_plain, sig_buckets=4)
+        with pytest.raises(ValueError, match="no bucket spec"):
+            p4.run(docs)
+
     def test_bucketed_checkpoint_string_ids(self, spark, tmp_path):
         # north-rule input uses clip_id:string — the bucketed signature
         # checkpoint (bucketBy on the id column) must behave identically

@@ -108,7 +108,7 @@ class TestStagePlans:
             bands = ops.bands_table(sig)
             plan = plan_of(ops.candidate_pairs_grouped(bands, max_bucket_size=1000))
             assert "LeftAnti" in plan, plan
-            agg_pos = plan.index("collect_set")
+            agg_pos = plan.index("collect_list")
             anti_pos = plan.index("LeftAnti")
             assert agg_pos < anti_pos, plan
             # and no post-agg size cap remains (only the >= 2 pair filter)
@@ -121,7 +121,7 @@ class TestStagePlans:
 
         plan = plan_of(ngram_jaccard_pairs(docs, n=3, threshold=0.3, max_doc_freq=100))
         assert "LeftAnti" in plan, plan
-        assert plan.index("collect_set") < plan.index("LeftAnti"), plan
+        assert plan.index("collect_list") < plan.index("LeftAnti"), plan
 
     def test_query_uses_broadcast_join(self, spark, docs):
         sig = ops.with_signatures(docs, CFG).cache()
