@@ -248,6 +248,16 @@ def simhash_candidate_pairs(
         F.col("simhash") != 0
     )
     if max_bucket_size is not None:
+        # fan the persisted fingerprint table in 4:1 (floored at cluster
+        # width, shuffle-free): the input partitioning is sized for the
+        # fingerprint UDF's CPU parallelism, but three downstream cache
+        # scans (hot count + both join legs) pay per-task overhead on a
+        # 16-byte-per-row table (same rationale + measurement as
+        # audio_near_dup_pairs's signature cache fan-in)
+        cluster_width = sim_df.sparkSession.sparkContext.defaultParallelism
+        sim_df = sim_df.coalesce(
+            max(cluster_width, sim_df.rdd.getNumPartitions() // 4)
+        )
         if materialize_path is not None:
             sim_df = _materialize_parquet(sim_df, materialize_path)
         else:
