@@ -401,15 +401,31 @@ def _mulshift_high32_u64(
 _MULSHIFT_BACKEND: str | None = None
 
 
+def _native_fused_available() -> bool:
+    """True when the fused C kernel (kernels_native) compiled + loaded."""
+    try:
+        from lexis_minhash_spark import kernels_native as KN
+
+        return KN.load() is not None
+    except Exception:  # pragma: no cover — any import/build issue → NumPy
+        return False
+
+
 def _pick_mulshift_backend(s: int) -> str:
     """One-time per-process calibration: time one block through each
-    backend on synthetic data and keep the faster (ties → u64, fewer
-    passes).  ~10 ms once; env LEXIS_MULSHIFT_BACKEND=u64|gemm pins it
-    (tests use this to assert cross-backend parity)."""
+    backend on synthetic data and keep the fastest (ties → fewer
+    passes).  ~10 ms once; env LEXIS_MULSHIFT_BACKEND=native|u64|gemm
+    pins it (tests use this to assert cross-backend parity).  The
+    ``native`` candidate is the fused one-pass C kernel
+    (kernels_native.py) and only competes when it compiled+loaded on
+    this host; it is bit-identical to the NumPy backends by construction
+    (C unsigned arithmetic IS mod 2^64; the >>32 commutes with min)."""
     global _MULSHIFT_BACKEND
     env = os.environ.get("LEXIS_MULSHIFT_BACKEND")
     if env in ("u64", "gemm"):
         return env
+    if env == "native" and _native_fused_available():
+        return "native"
     if _MULSHIFT_BACKEND is not None:
         return _MULSHIFT_BACKEND
     import time as _time
@@ -419,19 +435,28 @@ def _pick_mulshift_backend(s: int) -> str:
     a = (np.arange(1, s + 1, dtype=np.uint64) * np.uint64(0xBF58476D1CE4E5B9)) | np.uint64(1)
     b = np.arange(s, dtype=np.uint64) * np.uint64(0x94D049BB133111EB)
     coeffs = _prep_coeff_limbs(a, b)
+    candidates = ["u64", "gemm"]
+    if _native_fused_available():
+        from lexis_minhash_spark import kernels_native as KN
+
+        starts = np.zeros(1, dtype=np.int64)
+        counts = np.array([n], dtype=np.int64)
+        candidates.append("native")
     best = {}
-    for name in ("u64", "gemm"):
+    for name in candidates:
         t_best = None
         for _ in range(3):
             t0 = _time.perf_counter()
             if name == "u64":
                 _mulshift_high32_u64(h, a, b)
-            else:
+            elif name == "gemm":
                 _mulshift_high32(h, coeffs, scale_out=False)
+            else:
+                KN.minhash_fused(h, starts, counts, a, b)
             dt = _time.perf_counter() - t0
             t_best = dt if t_best is None else min(t_best, dt)
         best[name] = t_best
-    _MULSHIFT_BACKEND = "u64" if best["u64"] <= best["gemm"] else "gemm"
+    _MULSHIFT_BACKEND = min(best, key=lambda k: best[k])
     return _MULSHIFT_BACKEND
 
 
@@ -542,7 +567,21 @@ def minhash_batch(
     h = hashes_concat
     w = weights_concat
     eff_counts = counts.astype(np.int64)
-    use_u64 = w is None and _pick_mulshift_backend(s) == "u64"
+    backend = _pick_mulshift_backend(s) if w is None else "gemm"
+    if w is None and backend == "native":
+        # fused one-pass C kernel: multiply-shift + >>32 + u32 min-reduce
+        # per doc in a single streaming pass (no (shingles × S) scratch at
+        # all — the accumulator row stays in L1).  Duplicate shingles are
+        # just re-minimized, like the u64 backend.  Bit-identical to the
+        # NumPy backends (cross-backend parity tests); measured 0.893 s →
+        # 0.156 s for 4.1M shingles × 100 slots single-thread.
+        from lexis_minhash_spark import kernels_native as KN
+
+        starts_all = np.concatenate(([0], np.cumsum(eff_counts)[:-1]))
+        return KN.minhash_fused(
+            h.astype(np.uint64, copy=False), starts_all, eff_counts, a, b
+        )
+    use_u64 = w is None and backend == "u64"
     if w is None and h.size and not use_u64:
         # min-reduce is idempotent in the unweighted path (the slot value is
         # a pure function of the shingle hash), so duplicate shingles within

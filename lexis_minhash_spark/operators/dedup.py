@@ -216,8 +216,10 @@ def simhash_candidate_pairs(
 ) -> DataFrame:
     """Hamming-near pairs: split each fingerprint into ``num_blocks`` 16-bit
     block keys; docs within Hamming distance ``num_blocks - 1`` share at
-    least one block (pigeonhole).  Equi-join per block, then exact popcount
-    filter JVM-side via bit_count(xor).  Returns (a, b, hamming).
+    least one block (pigeonhole).  Candidates meet per block (grouped
+    in-bucket expansion in the capped path, equi-join in the uncapped
+    path), then exact popcount filter JVM-side via bit_count(xor).
+    Returns (a, b, hamming).
 
     Zero fingerprints (gated-out/empty docs) are quarantined — they would
     all pair with each other at distance 0 and form the hottest block
@@ -282,6 +284,39 @@ def simhash_candidate_pairs(
             .select("block_idx", "block_key")
         )
         blocks = blocks.join(F.broadcast(hot), ["block_idx", "block_key"], "left_anti")
+        # grouped in-bucket expansion (the candidate_pairs_grouped shape):
+        # ONE exchange of the block table (collect per bucket, bucket size
+        # bounded by the cap just applied) instead of two self-join legs —
+        # the hamming popcount runs inside the expansion so only surviving
+        # pairs reach the distinct.  Measured on the 50k-doc bench corpus:
+        # 4.21 s -> 3.43 s end-to-end, identical pair set (exceptAll = 0).
+        # Only the CAPPED path groups: an uncapped pathological block would
+        # materialize its whole member array in one task, so the uncapped
+        # exact-recall path below keeps the array-free self-join.
+        grouped = (
+            blocks.groupBy("block_idx", "block_key")
+            .agg(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
+                ).alias("ms")
+            )
+            .where(F.size("ms") >= 2)
+        )
+        return (
+            grouped.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ms, (x, i) ->"
+                        " transform(slice(ms, i + 2, size(ms) - i - 1), y ->"
+                        " struct(least(x.i, y.i) as a, greatest(x.i, y.i) as b,"
+                        " bit_count(x.s ^ y.s) as hamming))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.a", "p.b", "p.hamming")
+            .where(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
     left = blocks.select(
         "block_idx", "block_key", F.col(id_col).alias("a"), F.col("simhash").alias("sim_a")
     )
@@ -659,10 +694,29 @@ def cosine_topk(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Brute-force top-k cosine to one query vector — the ANN baseline.
-    Map-side score + global top-k (TakeOrderedAndProject, no full sort)."""
+    Map-side score + global top-k (TakeOrderedAndProject, no full sort).
+
+    The query norm is a constant: fold it in Python ONCE, in exactly
+    Spark's left-fold order (sequential IEEE-double acc + v*v, then sqrt —
+    bit-identical to ``norm_expr`` on the literal), instead of
+    re-aggregating the 64-element literal per row in both the zero guard
+    and the divisor (the r06 before plan evaluated FIVE higher-order
+    aggregates per row; now three)."""
+    import math
+
+    from lexis_minhash_spark.functions.similarity import dot_expr, norm_expr
+
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    acc = 0.0
+    for x in query_vec:
+        acc += float(x) * float(x)
+    qnorm = F.lit(math.sqrt(acc))
+    vnorm = norm_expr(F.col(vec_col))
+    cos = F.when(vnorm * qnorm == 0, F.lit(0.0)).otherwise(
+        dot_expr(F.col(vec_col), qlit) / (vnorm * qnorm)
+    )
     return (
-        df.select(F.col(id_col), F.round(cosine_expr(F.col(vec_col), qlit), 6).alias("cosine"))
+        df.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )

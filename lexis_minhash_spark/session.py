@@ -116,6 +116,16 @@ def _maybe_warm(spark: SparkSession, master: str) -> None:
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
+    # compile the fused native kernel cache entry (if a C compiler exists)
+    # BEFORE the Python worker pool spins up, so workers dlopen a ready .so
+    # instead of racing 32 concurrent compiles on first use
+    try:
+        from lexis_minhash_spark import kernels_native as _KN
+
+        _KN.load()
+    except Exception:
+        pass
+
     sc = spark.sparkContext
     sc.setJobDescription("session warm-up (engine code paths only)")
     try:

@@ -367,6 +367,29 @@ class TestMulshiftBackends:
         s2 = self._signatures("gemm", h, counts, a, b, monkeypatch)
         assert np.array_equal(s1, s2)
 
+    def test_native_fused_bit_identical(self, monkeypatch):
+        # round-6: the fused C kernel (kernels_native) must be bit-equal
+        # to the NumPy backends on random inputs, including empty docs
+        # (UInt32::MAX init rows).  Skips cleanly when no C compiler.
+        from lexis_minhash_spark import kernels_native as KN
+
+        if KN.load() is None:
+            import pytest
+
+            pytest.skip("no native kernel on this host")
+        rng = np.random.default_rng(11)
+        counts = rng.integers(0, 90, 64)
+        counts[5] = 0  # explicit empty doc
+        n = int(counts.sum())
+        h = rng.integers(0, 2**64, n, dtype=np.uint64)
+        a, b = seeded_coefficients(12345, 100)
+        ref = self._signatures("u64", h, counts, a, b, monkeypatch)
+        got = self._signatures("native", h, counts, a, b, monkeypatch)
+        assert np.array_equal(ref, got)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+        direct = KN.minhash_fused(h, starts, counts.astype(np.int64), a, b)
+        assert np.array_equal(ref, direct)
+
     @given(
         st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=200),
         st.integers(min_value=1, max_value=64),
@@ -393,4 +416,4 @@ class TestMulshiftBackends:
     def test_calibration_picks_a_backend(self):
         import lexis_minhash_spark.kernels as KK
         choice = KK._pick_mulshift_backend(100)
-        assert choice in ("u64", "gemm")
+        assert choice in ("u64", "gemm", "native")
