@@ -213,9 +213,20 @@ def batch_shingle_hashes(
     total_windows = int(big.shape[0]) - k + 1
     if total_windows <= 0:
         return np.empty(0, dtype=np.uint64), counts
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    if (
+        os.environ.get("LEXIS_ROLLING_BACKEND") in (None, "", "native")
+        and _native_fused_available()
+    ):
+        # incremental per-doc rolling hash in C: O(1) per window (vs the
+        # Horner's k passes over the whole concat array) and no
+        # cross-boundary windows to mask out afterwards.  Bit-identical
+        # (mod-2^64 unsigned arithmetic; parity-tested cross-backend).
+        from lexis_minhash_spark import kernels_native as KN
+
+        return KN.rolling_hashes_multi(big, starts, lens, k)
     h_all = shingle_hashes_bytes(big, k)
     # keep windows fully inside one document
-    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
     keep = np.zeros(h_all.shape[0], dtype=bool)
     for i in range(n_docs):
         if counts[i] > 0:

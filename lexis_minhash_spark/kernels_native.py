@@ -64,6 +64,33 @@ void minhash_fused(const uint64_t *h, const uint64_t *a, const uint64_t *b,
         }
     }
 }
+
+/* per-doc rolling k-byte polynomial hashes (P = 31, mod 2^64), incremental:
+   h_next = (h - w[0]*31^(k-1))*31 + w[k]  — O(1) per window vs the NumPy
+   Horner's k passes, and no cross-document windows are ever produced, so
+   the caller's boundary keep-mask disappears.  Output for doc d starts at
+   out_starts[d] and has max(len_d - k + 1, 0) entries. */
+void rolling_hashes_multi(const uint8_t *data, const int64_t *starts,
+                          const int64_t *lens, int64_t n_docs, int64_t k,
+                          const int64_t *out_starts, uint64_t *out)
+{
+    uint64_t pk = 1; /* 31^(k-1) mod 2^64 */
+    for (int64_t i = 1; i < k; i++) pk *= 31u;
+    for (int64_t d = 0; d < n_docs; d++) {
+        const int64_t len = lens[d];
+        if (len < k) continue;
+        const uint8_t *p = data + starts[d];
+        uint64_t *o = out + out_starts[d];
+        uint64_t h = 0;
+        for (int64_t i = 0; i < k; i++) h = h * 31u + p[i];
+        o[0] = h;
+        const int64_t n = len - k + 1;
+        for (int64_t i = 1; i < n; i++) {
+            h = (h - p[i - 1] * pk) * 31u + p[i + k - 1];
+            o[i] = h;
+        }
+    }
+}
 """
 
 _CACHE_DIR = os.path.join(tempfile.gettempdir(), "lexis_minhash_native")
@@ -125,6 +152,16 @@ def load():
             ctypes.c_int64,  # n_docs
             ctypes.POINTER(ctypes.c_uint32),  # out
         ]
+        lib.rolling_hashes_multi.restype = None
+        lib.rolling_hashes_multi.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),  # data
+            ctypes.POINTER(ctypes.c_int64),  # starts
+            ctypes.POINTER(ctypes.c_int64),  # lens
+            ctypes.c_int64,  # n_docs
+            ctypes.c_int64,  # k
+            ctypes.POINTER(ctypes.c_int64),  # out_starts
+            ctypes.POINTER(ctypes.c_uint64),  # out
+        ]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -165,3 +202,36 @@ def minhash_fused(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
     )
     return out
+
+
+def rolling_hashes_multi(
+    data: np.ndarray,
+    starts: np.ndarray,
+    lens: np.ndarray,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc rolling k-byte hashes of a concatenated uint8 stream.
+
+    Returns ``(hashes_concat, counts)`` — bit-identical to the NumPy
+    batch path (hash every window of the big array, drop windows that
+    straddle document boundaries), but computed incrementally per doc
+    with no cross-boundary windows to mask out.  Caller must ensure
+    ``load()`` succeeded."""
+    lib = load()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    counts = np.maximum(lens - (k - 1), 0)
+    out_starts = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+    out = np.empty(int(counts.sum()), dtype=np.uint64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.rolling_hashes_multi(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        starts.ctypes.data_as(i64p),
+        lens.ctypes.data_as(i64p),
+        ctypes.c_int64(int(lens.shape[0])),
+        ctypes.c_int64(int(k)),
+        out_starts.ctypes.data_as(i64p),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    return out, counts

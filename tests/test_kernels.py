@@ -390,6 +390,28 @@ class TestMulshiftBackends:
         direct = KN.minhash_fused(h, starts, counts.astype(np.int64), a, b)
         assert np.array_equal(ref, direct)
 
+    def test_native_rolling_bit_identical(self, monkeypatch):
+        # round-6: the incremental C rolling hash must equal the NumPy
+        # Horner-over-concat + boundary-mask path, including docs shorter
+        # than / equal to k.  Skips cleanly when no C compiler.
+        from lexis_minhash_spark import kernels_native as KN
+
+        if KN.load() is None:
+            import pytest
+
+            pytest.skip("no native kernel on this host")
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "", "ab", "abcd", "abcde", "abcdef", "x" * 5,
+            "pack my box with five dozen liquor jugs",
+        ]
+        for k in (2, 5, 9):
+            monkeypatch.setenv("LEXIS_ROLLING_BACKEND", "u64")
+            h1, c1 = K.batch_shingle_hashes(texts, k)
+            monkeypatch.setenv("LEXIS_ROLLING_BACKEND", "native")
+            h2, c2 = K.batch_shingle_hashes(texts, k)
+            assert np.array_equal(h1, h2) and np.array_equal(c1, c2), k
+
     @given(
         st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=200),
         st.integers(min_value=1, max_value=64),
